@@ -1,0 +1,208 @@
+"""Batched Procrustes / similarity-transform solvers.
+
+Covers the reference's alignment suite (/root/reference/pose_utils/procrustes.py
+and network/models/hand_utils.py:42-109): full and masked similarity transforms,
+yaw-only 2D variants for symmetric objects, and the palm-template rigid solve
+used for hand-frame canonicalization.
+
+The reference ships SVDs to the CPU "for speed" (hand_utils.py:55-59,
+procrustes.py:28-35). On TPU, `jnp.linalg.svd` is batched and jit-fused, so
+everything stays on device and differentiates cleanly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-6
+
+
+def _det3(a):
+    return jnp.sum(jnp.cross(a[..., 0, :], a[..., 1, :]) * a[..., 2, :], axis=-1)
+
+
+def rotate_pts(source: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Optimal rotation R with target ~= source @ R^T for centered point sets.
+
+    source, target: (..., N, 3). Matches procrustes.py:25-56 (Kabsch with
+    reflection fix: R = U diag(1,1,det(UV^T)) V^T where M = target^T source).
+    """
+    m = jnp.matmul(jnp.swapaxes(target, -1, -2), source)
+    # torch.svd returns V (not V^T); mirror that convention here.
+    u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+    v = jnp.swapaxes(vh, -1, -2)
+    d = _det3(jnp.matmul(u, jnp.swapaxes(v, -1, -2)))
+    mid = jnp.zeros_like(u)
+    mid = mid.at[..., 0, 0].set(1.0)
+    mid = mid.at[..., 1, 1].set(1.0)
+    mid = mid.at[..., 2, 2].set(d)
+    return jnp.matmul(jnp.matmul(u, mid), jnp.swapaxes(v, -1, -2))
+
+
+def solve_rot_and_trans(x: jnp.ndarray, y: jnp.ndarray):
+    """Solve R, t with y = x @ R^T + t^T (rigid, no scale).
+
+    x: (N, 3) or (B, N, 3); y: (B, N, 3). Returns R (B, 3, 3), t (B, 3, 1).
+    Same construction as hand_utils.py:42-66 (w = x_c^T y_c; R = V diag(1,1,
+    det(V U^T)) U^T; t = c_y - c_x R^T) — but batched on-device SVD.
+    """
+    if x.ndim == 2:
+        x = jnp.broadcast_to(x[None], y.shape)
+    cx = jnp.mean(x, axis=-2, keepdims=True)
+    cy = jnp.mean(y, axis=-2, keepdims=True)
+    xc = x - cx
+    yc = y - cy
+    w = jnp.matmul(jnp.swapaxes(xc, -1, -2), yc)
+    u, s, vh = jnp.linalg.svd(w, full_matrices=False)
+    v = jnp.swapaxes(vh, -1, -2)
+    det = jnp.linalg.det(jnp.matmul(v, jnp.swapaxes(u, -1, -2)))
+    ide = jnp.broadcast_to(jnp.eye(3, dtype=x.dtype), w.shape).copy()
+    ide = ide.at[..., 2, 2].set(det)
+    r = jnp.matmul(jnp.matmul(v, ide), jnp.swapaxes(u, -1, -2))
+    t = cy - jnp.matmul(cx, jnp.swapaxes(r, -1, -2))
+    return r, jnp.swapaxes(t, -1, -2)
+
+
+def scale_pts(source, target):
+    """Optimal scale for target ~= s * source (procrustes.py:59-62)."""
+    return jnp.sum(source * target, axis=(-1, -2)) / (
+        jnp.sum(source * source, axis=(-1, -2)) + EPS
+    )
+
+
+def translate_pts(source, target):
+    """source/target: (..., 3, N) -> (..., 3, 1) (procrustes.py:65-66)."""
+    return jnp.mean(target - source, axis=-1, keepdims=True)
+
+
+def rot_around_yaxis_to_3d(rot_2d):
+    """Embed a 2x2 xz-plane rotation into 3x3 (procrustes.py:69-75)."""
+    xx, xz = rot_2d[..., 0, 0], rot_2d[..., 0, 1]
+    zx, zz = rot_2d[..., 1, 0], rot_2d[..., 1, 1]
+    yy = jnp.ones_like(xx)
+    zero = jnp.zeros_like(xx)
+    m = jnp.stack([xx, zero, xz, zero, yy, zero, zx, zero, zz], axis=-1)
+    return m.reshape(m.shape[:-1] + (3, 3))
+
+
+def rotate_pts_2d(source, target):
+    """2D Kabsch with degenerate-solution fallback to identity
+    (procrustes.py:167-204)."""
+    m = jnp.matmul(jnp.swapaxes(target, -1, -2), source)
+    u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+    v = jnp.swapaxes(vh, -1, -2)
+    uvt = jnp.matmul(u, jnp.swapaxes(v, -1, -2))
+    d = uvt[..., 0, 0] * uvt[..., 1, 1] - uvt[..., 0, 1] * uvt[..., 1, 0]
+    mid = jnp.zeros_like(u)
+    mid = mid.at[..., 0, 0].set(1.0)
+    mid = mid.at[..., 1, 1].set(d)
+    r = jnp.matmul(jnp.matmul(u, mid), jnp.swapaxes(v, -1, -2))
+    eye = jnp.eye(2, dtype=r.dtype)
+    res = jnp.abs(jnp.matmul(jnp.swapaxes(r, -1, -2), r) - eye).mean(axis=(-1, -2))
+    valid = (res < 1e-5).astype(r.dtype)[..., None, None]
+    return valid * r + (1.0 - valid) * eye
+
+
+def transform_pts_2d(source, target):
+    """2D rigid fit; returns (rotation, translation) (procrustes.py:231-242)."""
+    sc = source - jnp.mean(source, axis=-2, keepdims=True)
+    tc = target - jnp.mean(target, axis=-2, keepdims=True)
+    rotation = rotate_pts_2d(sc, tc)
+    translation = translate_pts(
+        jnp.matmul(rotation, jnp.swapaxes(source, -1, -2)),
+        jnp.swapaxes(target, -1, -2),
+    )
+    return rotation, translation
+
+
+def transform_pts(source, target, given_scale=None, rotation=None, sym=False):
+    """Full similarity fit: target ~= s * source @ R^T + t
+    (procrustes.py:78-107). With sym=True, refines with a yaw-only 2D fit in
+    the xz plane of the canonical frame."""
+    sc = source - jnp.mean(source, axis=-2, keepdims=True)
+    tc = target - jnp.mean(target, axis=-2, keepdims=True)
+    if rotation is None:
+        rotation = rotate_pts(sc, tc)
+    if sym:
+        canon_target = jnp.matmul(target, rotation)
+        rot_2d, _ = transform_pts_2d(source[..., jnp.array([0, 2])],
+                                     canon_target[..., jnp.array([0, 2])])
+        rotation = jnp.matmul(rotation, rot_around_yaxis_to_3d(rot_2d))
+    if given_scale is not None:
+        scale = given_scale
+    else:
+        scale = scale_pts(jnp.matmul(sc, jnp.swapaxes(rotation, -1, -2)), tc)
+    translation = translate_pts(
+        scale[..., None, None] * jnp.matmul(rotation, jnp.swapaxes(source, -1, -2)),
+        jnp.swapaxes(target, -1, -2),
+    )
+    return rotation, scale, translation
+
+
+def _masked_center(pts, mask):
+    return jnp.sum(pts * mask, axis=-2, keepdims=True) / jnp.clip(
+        jnp.sum(mask, axis=-2, keepdims=True), min=1.0
+    )
+
+
+def rotate_pts_mask(source, target, w):
+    """Weighted Kabsch: weights w >= 0, shape (..., N, 1)
+    (procrustes.py:110-114)."""
+    w = jnp.sqrt(w + EPS)
+    return rotate_pts(source * w, target * w)
+
+
+def scale_pts_mask(source, target, w):
+    return jnp.sum(source * target * w, axis=(-1, -2)) / (
+        jnp.sum(source * source * w, axis=(-1, -2)) + EPS
+    )
+
+
+def translate_pts_mask(source, target, w):
+    """source/target (..., 3, N); w (..., N, 1) (procrustes.py:123-129)."""
+    w = jnp.swapaxes(w, -1, -2)  # (..., 1, N)
+    w_sum = jnp.clip(jnp.sum(w, axis=-1, keepdims=True), min=1.0)
+    return jnp.sum((target - source) * (w / w_sum), axis=-1, keepdims=True)
+
+
+def transform_pts_mask(source, target, mask, weights, given_scale=None,
+                       rotation=None, sym=False):
+    """Masked similarity fit (procrustes.py:132-164). mask gates the valid
+    points; weights weight the fit."""
+    s_center = _masked_center(source, mask)
+    t_center = _masked_center(target, mask)
+    sc = (source - s_center) * mask
+    tc = (target - t_center) * mask
+    if rotation is None:
+        rotation = rotate_pts_mask(sc, tc, weights)
+    if sym:
+        canon_target = jnp.matmul(target, rotation)
+        rot_2d, _ = transform_pts_2d_mask(source[..., jnp.array([0, 2])],
+                                          canon_target[..., jnp.array([0, 2])],
+                                          weights)
+        rotation = jnp.matmul(rotation, rot_around_yaxis_to_3d(rot_2d))
+    if given_scale is not None:
+        scale = given_scale
+    else:
+        scale = scale_pts_mask(jnp.matmul(sc, jnp.swapaxes(rotation, -1, -2)), tc, weights)
+    translation = translate_pts_mask(
+        scale[..., None, None] * jnp.matmul(rotation, jnp.swapaxes(source, -1, -2)),
+        jnp.swapaxes(target, -1, -2),
+        weights,
+    )
+    return rotation, scale, translation
+
+
+def transform_pts_2d_mask(source, target, mask):
+    """Masked 2D rigid fit (procrustes.py:213-228)."""
+    s_center = _masked_center(source, mask)
+    t_center = _masked_center(target, mask)
+    sc = (source - s_center) * mask
+    tc = (target - t_center) * mask
+    rotation = rotate_pts_2d(sc * mask, tc * mask)
+    translation = translate_pts_mask(
+        jnp.matmul(rotation, jnp.swapaxes(source, -1, -2)),
+        jnp.swapaxes(target, -1, -2),
+        mask,
+    )
+    return rotation, translation
