@@ -1,0 +1,176 @@
+"""Differentiable MANO forward (LBS) as pure jittable functions.
+
+Reimplements the reference's OurManoLayer.forward
+(/root/reference/third_party/mano/our_mano.py:218-360) in vectorized JAX:
+axis-angle -> rotation matrices (with the reference's +1e-8 norm shift,
+our_mano.py:99-110), shape/pose blendshapes, the explicit 3-level kinematic
+chain (our_mano.py:286-316), LBS skinning via one MXU matmul, 5 fingertip
+vertices, 21-kp reorder, and the wrist-recentred output convention
+(our_mano.py:351-354).
+
+The reference's `register_beta` mutable fast path (our_mano.py:211-216) —
+used so the 5120-particle optimizers skip the shape blend — becomes the
+functional `shape_hand()` whose result is passed back in via `shaped=`.
+
+Everything is batched over a leading axis and safe under jit/vmap/grad.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .model import (
+    KP_REORDER,
+    LEV1_IDXS,
+    LEV2_IDXS,
+    LEV3_IDXS,
+    REORDER_IDXS,
+    ManoModel,
+)
+
+
+def mano_rodrigues(axisang: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) axis-angle -> (..., 3, 3) rotations.
+
+    Matches batch_rodrigues (our_mano.py:99-110): the angle is the norm of
+    (axisang + 1e-8) — a componentwise shift, not an epsilon under the sqrt —
+    and the quaternion axis divides the *unshifted* vector by that angle.
+    """
+    angle = jnp.linalg.norm(axisang + 1e-8, axis=-1, keepdims=True)
+    axis = axisang / angle
+    half = angle * 0.5
+    w = jnp.cos(half)[..., 0]
+    xyz = jnp.sin(half) * axis
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    # quaternion already unit-norm by construction (our_mano.py:72-97)
+    w2, x2, y2, z2 = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    m = jnp.stack(
+        [
+            w2 + x2 - y2 - z2, 2 * xy - 2 * wz, 2 * wy + 2 * xz,
+            2 * wz + 2 * xy, w2 - x2 + y2 - z2, 2 * yz - 2 * wx,
+            2 * xz - 2 * wy, 2 * wx + 2 * yz, w2 - x2 - y2 + z2,
+        ],
+        axis=-1,
+    )
+    return m.reshape(axisang.shape[:-1] + (3, 3))
+
+
+def pca_comps2pose(model: ManoModel, pca: jnp.ndarray, ncomps: int = 10) -> jnp.ndarray:
+    """PCA coefficients (..., ncomps) -> 45-dof axis-angle pose
+    (our_mano.py:208-209)."""
+    return jnp.matmul(pca, model.hands_components[:ncomps])
+
+
+def shape_hand(model: ManoModel, betas: jnp.ndarray):
+    """Shape blend: betas (B, 10) -> (v_shaped (B, 778, 3), joints (B, 16, 3)).
+
+    Functional replacement for register_beta (our_mano.py:211-216)."""
+    v_shaped = jnp.einsum("vcs,bs->bvc", model.shapedirs, betas) + model.v_template
+    joints = jnp.einsum("jv,bvc->bjc", model.j_regressor, v_shaped)
+    return v_shaped, joints
+
+
+def _rt44(rot: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """rot (..., 3, 3), t (..., 3) -> homogeneous (..., 4, 4)."""
+    top = jnp.concatenate([rot, t[..., :, None]], axis=-1)
+    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+@partial(jax.jit, static_argnames=("original_version", "root_palm"))
+def mano_forward(
+    model: ManoModel,
+    pose_coeffs: jnp.ndarray,
+    betas: jnp.ndarray | None = None,
+    trans: jnp.ndarray | None = None,
+    shaped=None,
+    original_version: bool = False,
+    root_palm: bool = False,
+):
+    """MANO LBS forward. pose_coeffs (B, 48) = 3 global + 45 joint axis-angle.
+
+    Returns (verts (B, 778, 3), keypoints (B, 21, 3)), wrist-centred unless
+    `original_version` (our_mano.py:351-354). `shaped` short-circuits the
+    shape blend with a precomputed `shape_hand` result; its batch dim may be 1
+    (broadcast) or B.
+    """
+    b = pose_coeffs.shape[0]
+    rot_mats = mano_rodrigues(pose_coeffs.reshape(b, 16, 3))  # (B, 16, 3, 3)
+    root_rot = rot_mats[:, 0]
+    eye = jnp.eye(3, dtype=pose_coeffs.dtype)
+    pose_map = (rot_mats[:, 1:] - eye).reshape(b, 135)
+
+    if shaped is not None:
+        v_shaped, joints = shaped
+        v_shaped = jnp.broadcast_to(v_shaped, (b,) + v_shaped.shape[1:])
+        joints = jnp.broadcast_to(joints, (b,) + joints.shape[1:])
+    else:
+        if betas is None:
+            betas = jnp.zeros((1, model.shapedirs.shape[-1]), pose_coeffs.dtype)
+        if betas.shape[0] == 1 and b > 1:
+            betas = jnp.broadcast_to(betas, (b, betas.shape[-1]))
+        v_shaped, joints = shape_hand(model, betas)
+
+    v_posed = v_shaped + jnp.einsum("vcp,bp->bvc", model.posedirs, pose_map)
+
+    # kinematic chain, base to tips, 3 levels of 5 fingers (our_mano.py:286-316)
+    root_j = joints[:, 0]
+    t_root = _rt44(root_rot, root_j)[:, None]  # (B, 1, 4, 4)
+    lev1, lev2, lev3 = list(LEV1_IDXS), list(LEV2_IDXS), list(LEV3_IDXS)
+    t1 = jnp.matmul(t_root, _rt44(rot_mats[:, lev1], joints[:, lev1] - root_j[:, None]))
+    t2 = jnp.matmul(t1, _rt44(rot_mats[:, lev2], joints[:, lev2] - joints[:, lev1]))
+    t3 = jnp.matmul(t2, _rt44(rot_mats[:, lev3], joints[:, lev3] - joints[:, lev2]))
+    results = jnp.concatenate([t_root, t1, t2, t3], axis=1)[:, list(REORDER_IDXS)]
+
+    jtr = results[:, :, :3, 3]  # posed joints (B, 16, 3)
+
+    # remove rest-pose joint offsets from the translation column
+    # (our_mano.py:322-324): results2 = results - [0 | results @ [j; 0]]
+    j_h = jnp.concatenate([joints, jnp.zeros_like(joints[..., :1])], axis=-1)
+    offset = jnp.einsum("bjxy,bjy->bjx", results, j_h)
+    results2 = results.at[..., 3].add(-offset)
+
+    # LBS skinning: one (778,16) x (B,16,16) matmul rides the MXU
+    # (vs. the reference's (B,4,4,16)x(16,778) layout, our_mano.py:326-335)
+    t_skin = jnp.einsum("vj,bjxy->bvxy", model.weights, results2)
+    v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
+    verts = jnp.einsum("bvxy,bvy->bvx", t_skin, v_h)[..., :3]
+
+    tips = verts[:, model.tips]
+    if root_palm:
+        palm = (verts[:, 95] + verts[:, 22])[:, None] / 2.0
+        jtr = jnp.concatenate([palm, jtr[:, 1:]], axis=1)
+    jtr = jnp.concatenate([jtr, tips], axis=1)[:, list(KP_REORDER)]
+
+    if not original_version:
+        center = jtr[:, :1]
+        jtr = jtr - center
+        verts = verts - center
+
+    if trans is not None:
+        jtr = jtr + trans[:, None]
+        verts = verts + trans[:, None]
+    return verts, jtr
+
+
+def mano_keypoints(model: ManoModel, pose_coeffs, betas=None, trans=None,
+                   shaped=None):
+    """Keypoints-only forward (drops the vertex output for callers that only
+    need the 21 kps, e.g. the bone-length shape optimizer)."""
+    _, kp = mano_forward(model, pose_coeffs, betas, trans, shaped)
+    return kp
+
+
+def template_keypoints(model: ManoModel, betas: jnp.ndarray | None = None):
+    """Rest-pose 21 keypoints (wrist-centred) — the palm-template source used
+    by the tracking drivers (track_network.py:150-152)."""
+    if betas is None:
+        betas = jnp.zeros((1, model.shapedirs.shape[-1]), model.v_template.dtype)
+    pose = jnp.zeros((betas.shape[0], 48), model.v_template.dtype)
+    _, kp = mano_forward(model, pose, betas)
+    return kp
