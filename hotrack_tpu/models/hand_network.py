@@ -1,0 +1,274 @@
+"""HandTrackNet and IKNet — the two learned models of the pipeline.
+
+Parity: /root/reference/network/models/hand_network.py. HandTrackNet (:45-157)
+refines the previous frame's 21 hand keypoints against the current point
+cloud: canonicalize into a palm-Procrustes "hand frame" at scale 0.2, run a
+PointNet++ backbone over the cloud, query point features at the keypoint
+locations (two GivenCenterPoints SA layers sharing group indices), mix through
+skeleton-rearrange modules and the FFN-mode TransT stack, and regress a
+per-keypoint delta. IKNet (:246-322) maps canonical keypoints + bones to 15
+joint quaternions (MANO theta).
+
+All channels-last; every forward is jittable; the SVD canonicalization stays
+on device (the reference round-trips to CPU, hand_utils.py:55-59).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.backbones import PointNet2Msg
+from ..nn.blocks import RearrangeModule, position_embedding_sine
+from ..nn.norm import BatchNorm
+from ..nn.pointnet2 import SetAbstractionAtCenters
+from ..nn.transformer import AttnModule, TransT
+from ..ops.pointops import knn_point
+from ..pose.rotations import matrix_to_unit_quaternion, mano_quat2axisang
+from ..mano.layer import mano_forward
+from .hand_utils import (
+    CanonPose,
+    camera_frame,
+    canonicalize,
+    decanonicalize,
+    kp_bones,
+    solve_hand_frame,
+)
+
+
+def l2_loss(x, y, mask=None):
+    """Mean per-point L2 distance; x, y (B, N, 3), mask (B, N)
+    (hand_network.py:23-31, transposed to channels-last)."""
+    d = jnp.linalg.norm(x - y, axis=-1)
+    if mask is None:
+        return jnp.mean(d)
+    num = jnp.sum(d * mask, axis=-1)
+    den = jnp.clip(jnp.sum(mask, axis=-1), min=1.0)
+    return jnp.mean(num / den)
+
+
+def l1_loss(x, y, mask=None):
+    """Mean absolute difference (hand_network.py:34-42)."""
+    if mask is None:
+        return jnp.mean(jnp.abs(x - y))
+    d = jnp.mean(jnp.abs(x - y), axis=-1)
+    num = jnp.sum(d * mask, axis=-1)
+    den = jnp.clip(jnp.sum(mask, axis=-1), min=1.0)
+    return jnp.mean(num / den)
+
+
+def rotation_diff_deg(r1, r2):
+    """Mean geodesic angle between rotation batches, degrees
+    (hand_network.py:194-202)."""
+    m = jnp.matmul(jnp.swapaxes(r1, -1, -2), r2)
+    tr = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
+    return jnp.mean(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))) * 180.0 / jnp.pi
+
+
+class HandTrackNet(nn.Module):
+    """Per-frame hand keypoint refiner (hand_network.py:45-157).
+
+    __call__ inputs (channels-last):
+      hand_points (B, N, 3), jittered_kp (B, 21, 3),
+      palm_template (B, 6, 3) [handframe='kp'],
+      obb_pose: optional precomputed CanonPose [handframe='OBB'],
+      valid_mask (B, N) optional padded-point mask (TPU static shapes).
+    Returns dict with pred_kp (B, 21, 3), pred_kp_handframe,
+    init_kp_handframe, points_handframe, canon_pose, and (if
+    compute_visibility) pred_kp_vis_mask.
+    """
+
+    net_cfg: Mapping[str, Any]          # pointnet backbone config
+    backbone_out_dim: int = 384
+    handframe: str = "kp"               # 'kp' | 'OBB' | 'camera'
+
+    @nn.compact
+    def __call__(self, hand_points, jittered_kp, palm_template=None,
+                 obb_pose: CanonPose | None = None, valid_mask=None,
+                 compute_visibility: bool = False, train: bool = False,
+                 bn_momentum=0.1):
+        b, kp_num = jittered_kp.shape[0], jittered_kp.shape[1]
+        d = self.backbone_out_dim
+        assert d % 6 == 0
+
+        # ---- hand frame (hand_network.py:95-115) ----
+        if self.handframe == "kp":
+            canon_pose = solve_hand_frame(palm_template, jittered_kp)
+        elif self.handframe == "OBB":
+            canon_pose = obb_pose
+        elif self.handframe == "camera":
+            canon_pose = camera_frame(b, hand_points.dtype)
+        else:
+            raise NotImplementedError(self.handframe)
+
+        # ---- canonicalize cloud + kps together (hand_network.py:117-119) ----
+        cam = canonicalize(
+            jnp.concatenate([hand_points, jittered_kp], axis=1), canon_pose)
+        xyz2 = cam[:, :-kp_num]   # cloud in hand frame
+        xyz1 = cam[:, -kp_num:]   # kps in hand frame
+
+        # positional embeddings: computed-then-unused in FFN mode, kept for
+        # the attention-enabled path (hand_network.py:122-125)
+        pos = position_embedding_sine(cam, num_pos_feats=d // 6)
+        pos2, pos1 = pos[:, :-kp_num], pos[:, -kp_num:]
+
+        # ---- backbone over the cloud (hand_network.py:130) ----
+        src2 = PointNet2Msg(self.net_cfg, d, name="bhand")(
+            xyz2, valid_mask, train, bn_momentum)
+
+        # ---- keypoint-centred feature queries (hand_network.py:61-69,132-134)
+        q_kwargs = dict(radius_list=(0.2, 0.2), nsample_list=(16, 64),
+                        mlp_list=((128, 128, d // 2), (128, 128, d // 2)),
+                        knn=True)
+        f11, pre_group_idx = SetAbstractionAtCenters(**q_kwargs, name="q1")(
+            xyz2, src2, xyz1, None, return_group_idx=True,
+            valid_mask=valid_mask, train=train, bn_momentum=bn_momentum)
+        f12 = RearrangeModule(d, name="r1")(f11)
+        f13 = SetAbstractionAtCenters(**q_kwargs, name="q2")(
+            xyz2, src2, xyz1, f12, pre_group_idx=pre_group_idx,
+            train=train, bn_momentum=bn_momentum)
+        f14 = RearrangeModule(d, name="r2")(f13)
+
+        # ---- FFN-mode fusion (hand_network.py:137-140) ----
+        f15, f251 = TransT(d, name="transt")(f14, pos1, src2, pos2,
+                                             attn=False, train=train)
+        fused = AttnModule(d, name="c3")(f15, pos1, f251, pos2,
+                                         attn=False, train=train)
+
+        # ---- delta head (hand_network.py:74-76,142) ----
+        h = nn.relu(nn.Dense(256, name="final_mlp_0")(fused))
+        pred_kp_handframe = nn.Dense(3, name="final_mlp_2")(h) + xyz1
+
+        ret = {
+            "canon_pose": canon_pose,
+            "init_kp_handframe": xyz1,
+            "points_handframe": xyz2,
+            "pred_kp_handframe": pred_kp_handframe,
+            "pred_kp": decanonicalize(pred_kp_handframe, canon_pose),
+        }
+
+        if compute_visibility:
+            # visibility via mean 4-NN distance < 2 cm, with a 1 cm discount
+            # on the wrist + thumb-base kps (hand_network.py:149-155)
+            dist4, _ = knn_point(4, ret["pred_kp"], hand_points)
+            avg = jnp.mean(dist4, axis=-1)
+            avg = avg.at[:, 0].add(-0.01).at[:, 1].add(-0.01)
+            ret["pred_kp_vis_mask"] = avg < 0.02
+        return ret
+
+
+def hand_tracknet_loss(ret: dict, gt_kp, gt_palm_template=None,
+                       gt_hand_pose: dict | None = None,
+                       track_flag: bool = False):
+    """HandTrackNet losses/diagnostics (hand_network.py:159-221).
+
+    gt_kp (B, 21, 3). Returns (loss_dict, ret). The headline metric is
+    hand_pred_kp_diff = MPJPE in meters.
+    """
+    canon_pose: CanonPose = ret["canon_pose"]
+    gt_kp_handframe = canonicalize(gt_kp, canon_pose)
+    ret["gt_kp_handframe"] = gt_kp_handframe
+    s = canon_pose.scale.reshape(-1)[:, None, None]
+    init_scaled = ret["init_kp_handframe"] * s
+    pred_scaled = ret["pred_kp_handframe"] * s
+    gt_scaled = gt_kp_handframe * s
+
+    loss = {
+        "hand_pred_kp_loss": l1_loss(pred_scaled, gt_scaled),
+        "hand_pred_kp_diff": l2_loss(ret["pred_kp"], gt_kp),
+        "hand_init_kp_diff": l2_loss(init_scaled, gt_scaled),
+    }
+
+    if gt_palm_template is not None:
+        # global R/t recovered by palm Procrustes on scaled hand-frame kps
+        # (hand_network.py:180-183)
+        gt_frame = solve_hand_frame(gt_palm_template, gt_scaled)
+        pred_frame = solve_hand_frame(gt_palm_template, pred_scaled)
+        loss["hand_pred_r_loss"] = l1_loss(pred_frame.rotation, gt_frame.rotation)
+        loss["hand_pred_t_loss"] = l1_loss(pred_frame.translation, gt_frame.translation)
+        loss["hand_pred_r_diff"] = rotation_diff_deg(pred_frame.rotation,
+                                                     gt_frame.rotation)
+        loss["hand_pred_t_diff"] = l2_loss(
+            jnp.swapaxes(pred_frame.translation, -1, -2),
+            jnp.swapaxes(gt_frame.translation, -1, -2))
+
+    if track_flag and gt_hand_pose is not None:
+        # canonicalization-error diagnostics (hand_network.py:206-215)
+        loss["hand_canon_r_diff"] = rotation_diff_deg(
+            canon_pose.rotation, gt_hand_pose["rotation"])
+        loss["hand_canon_t_diff"] = l2_loss(
+            jnp.swapaxes(gt_hand_pose["translation"], -1, -2),
+            jnp.swapaxes(canon_pose.translation, -1, -2))
+    return loss, ret
+
+
+class IKNet(nn.Module):
+    """Inverse kinematics net (hand_network.py:246-322): canonical 21 kps +
+    21 parent-relative bones -> 15 joint quaternions (B, 60).
+
+    NOTE on flattening: inputs flatten kp-major (B, 21*3) from channels-last,
+    vs. the reference's coordinate-major flatten of (B, 3, 21)
+    (hand_network.py:292); torch checkpoint converters must permute the first
+    Linear's input weights accordingly.
+    """
+
+    layer_num: int = 6
+    width: int = 1024
+    iknetframe: str = "kp"  # 'kp' | 'camera'
+
+    @nn.compact
+    def __call__(self, init_kp, palm_template, train: bool = False,
+                 bn_momentum=0.1):
+        """init_kp (B, 21, 3), palm_template (B, 6, 3) -> dict."""
+        b = init_kp.shape[0]
+        canon_pose = solve_hand_frame(palm_template, init_kp)
+        if self.iknetframe == "kp":
+            init_kp_handframe = canonicalize(init_kp, canon_pose)
+        elif self.iknetframe == "camera":
+            init_kp_handframe = init_kp * 5.0
+        else:
+            raise NotImplementedError(self.iknetframe)
+
+        bones = kp_bones(init_kp_handframe)
+        pack = jnp.concatenate(
+            [init_kp_handframe.reshape(b, -1), bones.reshape(b, -1)], axis=-1)
+        for i in range(self.layer_num):
+            pack = nn.Dense(self.width, name=f"linear_{i}")(pack)
+            pack = BatchNorm(name=f"bn_{i}")(pack, train=train,
+                                             momentum=bn_momentum)
+            pack = nn.relu(pack)
+        raw_quat = nn.Dense(15 * 4, name=f"linear_{self.layer_num}")(pack)
+
+        return {
+            "raw_quat": raw_quat,
+            "init_kp": init_kp,
+            "init_kp_handframe": init_kp_handframe,
+            "global_pose": canon_pose,
+            "MANO_theta": mano_quat2axisang(raw_quat),
+        }
+
+
+def iknet_predict_kp(mano_model, ret: dict, beta):
+    """Compose the IKNet joint quats with the estimated global pose and run
+    MANO to get predicted keypoints (hand_network.py:313-318).
+    beta (B, 10) -> pred_kp (B, 21, 3)."""
+    canon_pose: CanonPose = ret["global_pose"]
+    b = ret["raw_quat"].shape[0]
+    root_quat = matrix_to_unit_quaternion(canon_pose.rotation)
+    full_quat = jnp.concatenate([root_quat, ret["raw_quat"]], axis=-1)
+    pose_coeffs = mano_quat2axisang(full_quat)
+    _, pred_kp = mano_forward(mano_model, pose_coeffs,
+                              betas=beta.reshape(b, -1),
+                              trans=canon_pose.translation.reshape(b, 3))
+    return pred_kp
+
+
+def iknet_loss(ret: dict, gt_quat, gt_kp):
+    """IKNet losses (hand_network.py:324-335). gt_quat (B, 60) = annotated
+    MANO joint quats (global quat stripped); gt_kp (B, 21, 3)."""
+    return {
+        "quat_loss": jnp.mean(jnp.abs(ret["raw_quat"] - gt_quat)),
+        "init_gt_kp_diff": l2_loss(ret["init_kp"], gt_kp),
+    }, ret

@@ -1,0 +1,222 @@
+"""Torch-checkpoint converter tests.
+
+Structure test: a synthetic torch-style state dict (built by inverting the
+mapping) must convert into exactly the flax-initialized tree. Numeric tests:
+real torch layers (Linear/BatchNorm/MultiheadAttention) produce the same
+outputs as flax modules with converted weights, including the IKNet first
+layer's flatten-order permutation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from hotrack_tpu.models import HandTrackNet, IKNet
+from hotrack_tpu.models.hand_utils import handkp2palmkp
+from hotrack_tpu.nn.transformer import AttnModule
+from hotrack_tpu.utils.torch_convert import (
+    _iknet_input_perm,
+    convert_handtracknet,
+    convert_iknet,
+)
+
+NET_CFG = {
+    "sa1": {"npoint": 32, "radius_list": [0.1], "nsample_list": [8],
+            "mlp_list": [[16, 16, 32]]},
+    "sa2": {"npoint": 16, "radius_list": [0.2], "nsample_list": [8],
+            "mlp_list": [[32, 32, 64]]},
+    "sa3": {"mlp": [64, 64, 128]},
+    "fp3": {"mlp": [64, 64]},
+    "fp2": {"mlp": [64, 64]},
+    "fp1": {"mlp": [64, 64]},
+}
+D = 48
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = np.asarray(v)
+    return out
+
+
+def _torch_sd_from_flax(params, stats):
+    """Inverse mapping: build a reference-style state dict from flax trees."""
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def dense_to(prefix, p, conv=True):
+        k = p["kernel"]
+        w = k.T
+        if conv:
+            w = w[..., None]  # (out, in, 1)
+        sd[prefix + ".weight"] = w.copy()
+        sd[prefix + ".bias"] = p["bias"].copy()
+
+    def bn_to(prefix, p, s):
+        sd[prefix + ".weight"] = p["scale"].copy()
+        sd[prefix + ".bias"] = p["bias"].copy()
+        sd[prefix + ".running_mean"] = s["mean"].copy()
+        sd[prefix + ".running_var"] = s["var"].copy()
+
+    def shared_to(conv_prefix, bn_prefix, p, s):
+        n = len([k for k in p if k.startswith("Dense_")])
+        for j in range(n):
+            dense_to(f"{conv_prefix}.{j}", p[f"Dense_{j}"])
+            bn_to(f"{bn_prefix}.{j}", p[f"BatchNorm_{j}"], s[f"BatchNorm_{j}"])
+
+    def msg_to(prefix, p, s):
+        n = len([k for k in p if k.startswith("SharedMLP_")])
+        for i in range(n):
+            shared_to(f"{prefix}.conv_blocks.{i}", f"{prefix}.bn_blocks.{i}",
+                      p[f"SharedMLP_{i}"], s[f"SharedMLP_{i}"])
+
+    def plain_to(prefix, p, s):
+        shared_to(f"{prefix}.mlp_convs", f"{prefix}.mlp_bns",
+                  p["SharedMLP_0"], s["SharedMLP_0"])
+
+    def attn_to(prefix, p):
+        # the torch checkpoint carries (unused) attention weights even in
+        # FFN mode; synthesize them — the converter must skip them
+        d = p["LayerNorm_0"]["scale"].shape[0]
+        sd[prefix + ".attn.in_proj_weight"] = rng.randn(3 * d, d).astype(np.float32)
+        sd[prefix + ".attn.in_proj_bias"] = rng.randn(3 * d).astype(np.float32)
+        sd[prefix + ".attn.out_proj.weight"] = rng.randn(d, d).astype(np.float32)
+        sd[prefix + ".attn.out_proj.bias"] = rng.randn(d).astype(np.float32)
+        sd[prefix + ".norm1.weight"] = p["LayerNorm_0"]["scale"].copy()
+        sd[prefix + ".norm1.bias"] = p["LayerNorm_0"]["bias"].copy()
+        if "Dense_0" in p:
+            dense_to(prefix + ".linear1", p["Dense_0"], conv=False)
+            dense_to(prefix + ".linear2", p["Dense_1"], conv=False)
+            sd[prefix + ".norm2.weight"] = p["LayerNorm_1"]["scale"].copy()
+            sd[prefix + ".norm2.bias"] = p["LayerNorm_1"]["bias"].copy()
+
+    bp, bs = params["bhand"], stats["bhand"]
+    for n in ("sa1", "sa2"):
+        msg_to(f"bhand.{n}", bp[n], bs[n])
+    for n in ("sa3", "fp3", "fp2", "fp1"):
+        plain_to(f"bhand.{n}", bp[n], bs[n])
+    dense_to("bhand.conv1", bp["conv1"])
+    bn_to("bhand.bn1", bp["bn1"], bs["bn1"])
+    for n in ("q1", "q2"):
+        msg_to(n, params[n], stats[n])
+    dense_to("r1.linear", params["r1"]["Dense_0"])
+    dense_to("r2.linear", params["r2"]["Dense_0"])
+    for i, tname in enumerate(("s11", "s12", "c11", "c12")):
+        attn_to(f"transt.{tname}", params["transt"][f"AttnModule_{i}"])
+    attn_to("c3", params["c3"])
+    dense_to("final_mlp.0", params["final_mlp_0"])
+    dense_to("final_mlp.2", params["final_mlp_2"])
+    return sd
+
+
+def test_handtracknet_roundtrip():
+    model = HandTrackNet(net_cfg=NET_CFG, backbone_out_dim=D, handframe="kp")
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(2, 64, 3), jnp.float32) * 0.05
+    kp = jnp.asarray(rng.randn(2, 21, 3), jnp.float32) * 0.04
+    variables = model.init(jax.random.PRNGKey(0), pts, kp, handkp2palmkp(kp)[0])
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = _torch_sd_from_flax(params, stats)
+    # q mlps in the converter use d_model//2 head widths
+    conv_params, conv_stats = convert_handtracknet(sd, NET_CFG, d_model=D)
+
+    want_p, got_p = _flatten(params), _flatten(conv_params)
+    assert set(want_p) == set(got_p), (
+        set(want_p) ^ set(got_p))
+    for k in want_p:
+        np.testing.assert_allclose(got_p[k], want_p[k], atol=1e-6, err_msg=str(k))
+    want_s, got_s = _flatten(stats), _flatten(conv_stats)
+    assert set(want_s) == set(got_s)
+    for k in want_s:
+        np.testing.assert_allclose(got_s[k], want_s[k], atol=1e-6)
+
+
+def test_mha_numeric_equivalence():
+    """torch nn.MultiheadAttention == flax MHA with converted weights."""
+    d, b, n, m = 48, 2, 5, 7
+    torch.manual_seed(0)
+    t_attn = torch.nn.MultiheadAttention(d, 8, dropout=0.0).eval()
+    sd = {"m.attn." + k: v.detach().numpy() for k, v in
+          t_attn.state_dict().items()}
+    sd["m.norm1.weight"] = np.ones(d, np.float32)
+    sd["m.norm1.bias"] = np.zeros(d, np.float32)
+    from hotrack_tpu.utils.torch_convert import _attn_module
+    params = _attn_module(sd, "m", d, no_linear=True)
+    module = AttnModule(d_model=d, no_linear=True, dropout=0.0)
+
+    rng = np.random.RandomState(2)
+    q = rng.randn(b, n, d).astype(np.float32)
+    kv = rng.randn(b, m, d).astype(np.float32)
+
+    with torch.no_grad():
+        t_out, _ = t_attn(torch.tensor(q).permute(1, 0, 2),
+                          torch.tensor(kv).permute(1, 0, 2),
+                          torch.tensor(kv).permute(1, 0, 2))
+        t_out = t_out.permute(1, 0, 2).numpy()
+
+    # flax AttnModule with attn=True and zero pos embeddings: src1 + attn(out)
+    # then LayerNorm. To isolate MHA, compare the residual branch pre-norm:
+    out = module.apply({"params": params}, jnp.asarray(q), None,
+                       jnp.asarray(kv), None, attn=True, train=False)
+    # reproduce the same post-processing on the torch side
+    expect = q + t_out
+    mean = expect.mean(-1, keepdims=True)
+    var = expect.var(-1, keepdims=True)
+    expect = (expect - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(out), expect, atol=2e-3)
+
+
+def test_iknet_perm_numeric():
+    """First-layer permutation: torch coordinate-major == flax kp-major."""
+    rng = np.random.RandomState(3)
+    w = rng.randn(32, 126).astype(np.float32)
+    kp = rng.randn(4, 21, 3).astype(np.float32)
+    bones = rng.randn(4, 21, 3).astype(np.float32)
+
+    x_torch = np.concatenate([kp.transpose(0, 2, 1).reshape(4, -1),
+                              bones.transpose(0, 2, 1).reshape(4, -1)], -1)
+    want = x_torch @ w.T
+
+    perm = _iknet_input_perm()
+    kernel = w.T[perm]
+    x_flax = np.concatenate([kp.reshape(4, -1), bones.reshape(4, -1)], -1)
+    got = x_flax @ kernel
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_iknet_structure_roundtrip():
+    model = IKNet()
+    rng = np.random.RandomState(4)
+    kp = jnp.asarray(rng.randn(2, 21, 3), jnp.float32) * 0.04
+    variables = model.init(jax.random.PRNGKey(0), kp, handkp2palmkp(kp)[0:1][0])
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = {}
+    perm = _iknet_input_perm()
+    inv = np.argsort(perm)
+    for i in range(7):
+        k = params[f"linear_{i}"]["kernel"]
+        if i == 0:
+            k = k[inv]
+        sd[f"linear.{i}.weight"] = k.T.copy()
+        sd[f"linear.{i}.bias"] = params[f"linear_{i}"]["bias"].copy()
+        if i < 6:
+            sd[f"bn.{i}.weight"] = params[f"bn_{i}"]["scale"].copy()
+            sd[f"bn.{i}.bias"] = params[f"bn_{i}"]["bias"].copy()
+            sd[f"bn.{i}.running_mean"] = stats[f"bn_{i}"]["mean"].copy()
+            sd[f"bn.{i}.running_var"] = stats[f"bn_{i}"]["var"].copy()
+
+    conv_p, conv_s = convert_iknet(sd)
+    want_p, got_p = _flatten(params), _flatten(conv_p)
+    assert set(want_p) == set(got_p)
+    for k in want_p:
+        np.testing.assert_allclose(got_p[k], want_p[k], atol=1e-6, err_msg=str(k))
