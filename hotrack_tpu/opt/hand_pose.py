@@ -1,0 +1,200 @@
+"""MANO hand pose optimizer vs. object SDF + silhouette (gradient-free).
+
+Parity: gf_optimize_hand_pose (/root/reference/network/models/
+optimization_hand.py:127-394): 5 iterations x 5120 particles over 16 dims
+(3 rot-quat + 3 trans + 10 MANO PCA comps, theta_scale=30). Energy terms
+(:277-293), weighted by cfg opt/energy_weight:
+
+  - sil_loss: project the 778 MANO verts with the camera intrinsics and count
+    hits on the background mask (:234-240);
+  - penetrate_sum_loss: max |SDF| over verts inside the object (:264-268);
+  - vis/invis_regu_loss: keypoint distance to the HandTrackNet prediction,
+    split by the visibility mask (:228-232);
+  - attraction_loss: pull invisible fingertips' contact zones onto the object
+    surface, gated on particle-0 penetration (:242-250, :284-287);
+  - temporal_smooth: distance to last frame's keypoints (:270-275).
+
+The per-frame silhouette file I/O of the reference (:316-333) is hoisted out:
+the caller passes the background mask as an array (pre-loaded per sequence).
+The whole optimization is one jitted lax.fori_loop device program.
+"""
+
+from __future__ import annotations
+
+import pickle
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..mano.layer import mano_forward, pca_comps2pose, shape_hand
+from ..mano.model import ManoModel
+from ..pose.rotations import (
+    mano_quat2axisang,
+    matrix_to_unit_quaternion,
+    unit_quaternion_to_matrix,
+)
+from ..sdf.volume import nearest_sdf
+from .obj_pose import _reproject_so3
+from .particle import (
+    ParticleSpec,
+    normalize_quat_head,
+    quat_extend,
+    run_particle_opt,
+)
+
+POSE_SPEC = ParticleSpec(iterations=5, scaling_coefficient2=0.1, beta=0.9)
+INITIAL_SCALE = 0.005       # (optimization_hand.py:150)
+THETA_SCALE = 30.0          # (optimization_hand.py:145)
+NCOMPS = 10
+# fingertip keypoint ids checked for visibility (optimization_hand.py:244)
+TIP_KP_IDS = (8, 12, 16, 20, 4)
+
+
+class ContactZones(NamedTuple):
+    """Fingertip contact-zone vertex ids, padded per finger.
+
+    tips_idx (5, K) int32 vertex ids; tips_mask (5, K) bool valid entries.
+    Sourced from the Obman contact_zones.pkl (optimization_hand.py:162-171).
+    """
+
+    tips_idx: jnp.ndarray
+    tips_mask: jnp.ndarray
+
+
+def load_contact_zones(path: str | None = None) -> ContactZones:
+    """Load Obman contact zones (zones 1..5 are the fingertips). Without the
+    asset, fall back to the MANO fingertip vertex neighborhoods — enough for
+    tests and synthetic rigs."""
+    if path is not None:
+        with open(path, "rb") as f:
+            contact_data = pickle.load(f)
+        zones = [np.asarray(contact_data["contact_zones"][i + 1]) for i in range(5)]
+    else:
+        from ..mano.model import TIPS_RIGHT
+        zones = [np.arange(t - 8, t + 8) % 778 for t in TIPS_RIGHT]
+    kmax = max(len(z) for z in zones)
+    idx = np.zeros((5, kmax), np.int32)
+    mask = np.zeros((5, kmax), bool)
+    for i, z in enumerate(zones):
+        idx[i, :len(z)] = z
+        mask[i, :len(z)] = True
+    return ContactZones(jnp.asarray(idx), jnp.asarray(mask))
+
+
+def world2point2d(xyz, fx, fy, cx, cy):
+    """Project (..., 3) camera-frame points to (y, x) pixel coords
+    (optimization_hand.py:13-21)."""
+    x = xyz[..., 0] / xyz[..., 2] * fx + cx
+    y = xyz[..., 1] / xyz[..., 2] * fy + cy
+    return jnp.stack([y, x], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("iterations",))
+def optimize_hand_pose(
+    mano_model: ManoModel,
+    presampled: jnp.ndarray,         # (P, 16) fixed particle bank
+    zones: ContactZones,
+    sdf_volume: jnp.ndarray,         # (V, V, V) object SDF (151^3 @ 3 mm)
+    hand_shape: jnp.ndarray,         # (1, 10) optimized beta
+    init_rotation: jnp.ndarray,      # (1, 3, 3) global hand rotation
+    init_translation: jnp.ndarray,   # (1, 3, 1)
+    init_theta: jnp.ndarray,         # (1, 45) MANO joint axis-angles
+    pred_kp: jnp.ndarray,            # (1, 21, 3) HandTrackNet prediction
+    vis_mask: jnp.ndarray,           # (1, 21) bool keypoint visibility
+    last_frame_kp: jnp.ndarray,      # (1, 21, 3); pass pred_kp + has_last=0 on frame 0
+    has_last: jnp.ndarray,           # () float {0., 1.}
+    obj_rotation: jnp.ndarray,       # (3, 3) object pose (for SDF frame)
+    obj_translation: jnp.ndarray,    # (3,)
+    background_mask: jnp.ndarray,    # (H, W) bool: True = background pixel
+    intrinsics: dict,                # fx, fy, cx, cy scalars
+    energy_weight: dict,             # the cfg opt/energy_weight map
+    voxel_scale: float = 0.003,
+    iterations: int = POSE_SPEC.iterations,
+):
+    """Returns (final_kp (1,21,3), theta (1,45), rotation (1,3,3),
+    translation (1,3,1), final_energy)."""
+    spec = POSE_SPEC._replace(iterations=iterations)
+    h, w = background_mask.shape
+    shaped = shape_hand(mano_model, hand_shape)  # register_beta fast path
+    vis = vis_mask.astype(jnp.float32)
+    invis_finger = 1.0 - vis[0, list(TIP_KP_IDS)]  # (5,)
+
+    def forward_candidates(params, sample_ext):
+        r, t, theta = params
+        new_r = jnp.matmul(r, unit_quaternion_to_matrix(sample_ext[:, :4]))
+        new_t = t + sample_ext[:, 4:7, None]
+        new_theta = theta + pca_comps2pose(
+            mano_model, sample_ext[:, 7:], NCOMPS) * THETA_SCALE
+        axisang = mano_quat2axisang(matrix_to_unit_quaternion(new_r))
+        pose = jnp.concatenate([axisang, new_theta], axis=-1)
+        hand, kp = mano_forward(mano_model, pose, trans=new_t[..., 0],
+                                shaped=shaped)
+        return hand, kp
+
+    def energy_fn(params, sample_ext):
+        hand, kp = forward_candidates(params, sample_ext)  # (P,778,3) (P,21,3)
+
+        # object-frame SDF at hand verts (optimization_hand.py:252-262)
+        obj_frame = jnp.matmul(hand - obj_translation[None, None], obj_rotation)
+        sdf = nearest_sdf(sdf_volume, obj_frame, voxel_scale,
+                          sdf_volume.shape[0])  # (P, 778)
+
+        # silhouette (:234-240)
+        pts2d = world2point2d(hand, intrinsics["fx"], intrinsics["fy"],
+                              intrinsics["cx"], intrinsics["cy"])
+        iy = jnp.clip(pts2d[..., 0].astype(jnp.int32), 0, h - 1)
+        ix = jnp.clip(pts2d[..., 1].astype(jnp.int32), 0, w - 1)
+        sil = jnp.sum(background_mask[iy, ix], axis=-1) / hand.shape[1]
+
+        # penetration (:264-268)
+        pen = jnp.max(jnp.abs(sdf) * (sdf < 0.0), axis=-1)
+
+        # keypoint regularization vs. the network prediction (:228-232)
+        err = jnp.linalg.norm(kp - pred_kp, axis=-1)  # (P, 21)
+        vis_regu = jnp.sum(err * vis[0], -1) / jnp.clip(jnp.sum(vis[0]), min=1.0)
+        invis_regu = jnp.sum(err * (1 - vis[0]), -1) / jnp.clip(
+            jnp.sum(1 - vis[0]), min=1.0)
+
+        # temporal smoothness (:270-275)
+        smooth = jnp.mean(jnp.linalg.norm(kp - last_frame_kp, axis=-1), -1) * has_last
+
+        # fingertip attraction, gated on particle-0 penetration (:242-250,284-287)
+        region = sdf[:, zones.tips_idx]  # (P, 5, K)
+        region = region * (region > 0.0)
+        region = jnp.where(zones.tips_mask[None], region, jnp.inf)
+        per_finger = jnp.min(region, axis=-1)  # (P, 5)
+        attr = jnp.sum(per_finger * invis_finger, axis=-1) * (pen[0] != 0.0)
+
+        energy = (energy_weight["sil_loss"] * sil
+                  + energy_weight["penetrate_sum_loss"] * pen
+                  + energy_weight["vis_regu_loss"] * vis_regu
+                  + energy_weight["invis_regu_loss"] * invis_regu
+                  + energy_weight["temporal_smooth"] * smooth
+                  + energy_weight["attraction_loss"] * attr)
+        return energy, energy
+
+    def apply_mean(params, mean_ext):
+        r, t, theta = params
+        r = jnp.matmul(r, unit_quaternion_to_matrix(mean_ext[None, :4]))
+        r = _reproject_so3(r)
+        t = t + mean_ext[4:7, None]
+        theta = theta + pca_comps2pose(
+            mano_model, mean_ext[None, 7:], NCOMPS) * THETA_SCALE
+        return r, t, theta
+
+    params = (init_rotation, init_translation, init_theta)
+    (r, t, theta), last_energy = run_particle_opt(
+        spec, presampled, INITIAL_SCALE, params, energy_fn, apply_mean,
+        extend_sample=quat_extend,
+        postprocess_mean=normalize_quat_head,
+        search_slice=lambda m: m[1:],
+    )
+
+    axisang = mano_quat2axisang(matrix_to_unit_quaternion(r))
+    _, final_kp = mano_forward(
+        mano_model, jnp.concatenate([axisang, theta], -1),
+        trans=t[..., 0], shaped=shaped)
+    return final_kp, theta, r, t, last_energy
