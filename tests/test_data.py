@@ -1,0 +1,95 @@
+"""Data-layer tests: synthetic generator -> SimGrasp reader -> device
+prepare_batch -> dataloaders, end to end."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hotrack_tpu.config import get_config
+from hotrack_tpu.data import (
+    SequenceData,
+    SingleFrameData,
+    get_dataloader,
+    prepare_batch,
+    stack_frames,
+)
+from hotrack_tpu.data.synthetic import generate_simgrasp_dataset
+from hotrack_tpu.mano import mano_forward, synthetic_mano_model
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data_root")
+    mano = synthetic_mano_model()
+    generate_simgrasp_dataset(str(root), num_instances=2, num_frames=6,
+                              points_per_part=300, mano_model=mano)
+    os.environ["HOTRACK_DATA_ROOT"] = str(root)
+    cfg = get_config({"config": "handtracknet_train_SimGrasp.yml",
+                      "num_points": 64, "batch_size": 2}, save=False)
+    return cfg, mano, root
+
+
+def test_reader_and_schema(env):
+    cfg, mano, _ = env
+    from hotrack_tpu.data.simgrasp import SimGraspDataset
+    ds = SimGraspDataset(cfg, "train")
+    assert len(ds) == 6  # one train instance x 6 frames
+    frame, meta = ds[0]
+    assert frame.hand_points.shape == (5 * 64, 3)
+    assert frame.valid and frame.hand_valid.sum() > 0
+    assert meta["category"] == "bottle_sim"
+
+
+def test_prepare_batch_device(env):
+    cfg, mano, _ = env
+    from hotrack_tpu.data.simgrasp import SimGraspDataset
+    ds = SimGraspDataset(cfg, "train")
+    raw = stack_frames([ds[i][0] for i in range(3)])
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(0), 64,
+                          hand_jitter_scale=0.02,
+                          obj_jitter={"rotation": 0.05, "translation": 0.01,
+                                      "scale": 0.0})
+    assert batch["hand_points"].shape == (3, 64, 3)
+    assert batch["gt_hand_kp"].shape == (3, 21, 3)
+    assert bool(jnp.all(batch["hand_valid"]))
+
+    # device-side gt kps must equal a direct MANO forward of the stored pose
+    _, kp = mano_forward(mano, jnp.asarray(raw.mano_pose),
+                         betas=jnp.asarray(raw.mano_beta),
+                         trans=jnp.asarray(raw.mano_trans),
+                         original_version=True)
+    np.testing.assert_allclose(np.asarray(batch["gt_hand_kp"]),
+                               np.asarray(kp), atol=1e-5)
+
+    # jitter is bounded and rotation stays orthonormal
+    jr = np.asarray(batch["jittered_obj_pose"]["rotation"])
+    np.testing.assert_allclose(jr @ jr.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), (3, 3, 3)), atol=1e-5)
+    # hand points must lie near the MANO surface (sanity on generator)
+    verts, _ = mano_forward(mano, jnp.asarray(raw.mano_pose),
+                            betas=jnp.asarray(raw.mano_beta),
+                            trans=jnp.asarray(raw.mano_trans),
+                            original_version=True)
+    d = np.linalg.norm(np.asarray(batch["hand_points"])[:, :, None]
+                       - np.asarray(verts)[:, None, :64], axis=-1).min(-1)
+    assert d.mean() < 0.05
+
+
+def test_dataloaders(env):
+    cfg, mano, _ = env
+    loader = get_dataloader(cfg, "train")
+    batches = list(iter(loader))
+    assert len(batches) == len(loader) == 3  # 6 frames / batch 2
+    frames, metas = batches[0]
+    assert frames.hand_points.shape[0] == 2 and len(metas) == 2
+
+    track_cfg = dict(cfg)
+    track_cfg["track"] = "hand"
+    seq_loader = get_dataloader(track_cfg, "test")
+    assert len(seq_loader) >= 1
+    frames, metas = seq_loader[0]
+    assert frames.hand_points.shape[0] == 6  # whole sequence stacked
