@@ -1,1 +1,1 @@
-from . import rotations, procrustes, metrics, part_dof
+from . import bbox, metrics, part_dof, pose_fit, procrustes, rotations

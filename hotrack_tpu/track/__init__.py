@@ -1,0 +1,6 @@
+from .types import HandTrackResult, ObjTrackResult
+from .hand import track_hand_sequence
+from .obj import track_obj_sequence
+
+__all__ = ["HandTrackResult", "ObjTrackResult", "track_hand_sequence",
+           "track_obj_sequence"]

@@ -1,0 +1,194 @@
+"""Hand tracking runner: sequence scan + eval + trajectory pickles.
+
+Parity: the track='hand'/'hand_IKNet' paths of network/test.py +
+HandTrackModel (track_network.py:96-320). Loads the HandTrackNet (and IKNet)
+checkpoints — composed from separate experiment dirs like the reference's
+handnet./IKnet. prefixes (trainer.py:206-227) — then runs the jitted scan
+driver per sequence, evaluates, and optionally saves trajectory pickles.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from os.path import join as pjoin
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data import get_dataloader, prepare_batch
+from ..mano.model import get_mano_model
+from ..models.hand_network import HandTrackNet, IKNet
+from ..opt import load_contact_zones, presample_particles
+from ..pose.rotations import mano_quat2axisang, matrix_to_unit_quaternion
+from ..track.eval import eval_hand_sequence
+from ..track.hand import track_hand_sequence
+from ..utils.dicts import add_dict, cvt_numpy
+from .run_obj_track import _sequence_volume
+from .trainer import Trainer
+
+HAND_VOLUME_SIZE = 151    # (optimization_hand.py:148-149)
+HAND_VOXEL_SCALE = 0.003
+
+
+def _load_model(cfg, network_type: str, experiment_dir: str, example_batch):
+    sub = dict(cfg)
+    sub["network"] = dict(cfg["network"])
+    sub["network"]["type"] = network_type
+    sub["experiment_dir"] = experiment_dir
+    trainer = Trainer(sub)
+    trainer.init_state(example_batch, cfg.get("seed", 0))
+    if not trainer.resume():
+        print(f"WARNING: no checkpoint found in {experiment_dir}/ckpt; "
+              f"using random init")
+    return trainer
+
+
+def run_hand_tracking(cfg, save_flag: bool = False):
+    loader = get_dataloader(cfg, "test")
+    mano = get_mano_model(cfg.get("mano_root"))
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+
+    use_iknet = cfg["track"] == "hand_IKNet"
+    use_opt = bool(cfg.get("use_optimization", False)) and use_iknet
+    shape_mode = cfg.get("use_pred_hand_shape", False)
+
+    hj = cfg["hand_jitter_cfg"]
+
+    # init models from the first sequence's first frames
+    raw0, metas0 = loader[0]
+    key, k0 = jax.random.split(key)
+    batch0 = prepare_batch(mano, jax.tree.map(jnp.asarray, raw0), k0,
+                           cfg["num_points"],
+                           hand_jitter_scale=hj["rand_scale"],
+                           jitter_kind=hj["rand_type"])
+    example = jax.tree.map(lambda a: a[:1], batch0)
+    handnet_tr = _load_model(cfg, "HandTrackNet", cfg["experiment_dir"], example)
+    iknet_tr = None
+    if use_iknet:
+        iknet_tr = _load_model(cfg, "iknet", cfg.get("IKNet_dir",
+                                                     cfg["experiment_dir"]),
+                               example)
+
+    shape_particles = pose_particles = zones = sdf_volume = None
+    energy_weight = None
+    if use_iknet and shape_mode:
+        key, k1 = jax.random.split(key)
+        shape_particles = presample_particles(k1, 5120, 10)
+    if use_opt:
+        key, k2 = jax.random.split(key)
+        pose_particles = presample_particles(k2, 5120, 16)
+        zones_path = cfg.get("contact_zones_path")
+        zones = load_contact_zones(zones_path if zones_path and
+                                   os.path.exists(zones_path) else None)
+        energy_weight = {k: float(v)
+                         for k, v in cfg["opt"]["energy_weight"].items()}
+
+    total, n_seq = {}, 0
+    n_frames, net_time, data_time = 0, 0.0, 0.0
+    for seq_idx in range(len(loader)):
+        t0 = time.time()
+        raw, metas = loader[seq_idx]
+        key, k1 = jax.random.split(key)
+        batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw), k1,
+                              cfg["num_points"],
+                              hand_jitter_scale=hj["rand_scale"],
+                              jitter_kind=hj["rand_type"])
+        if use_opt:
+            sdf_volume = _hand_volume(cfg, metas[0])
+        jax.block_until_ready(batch["hand_points"])
+        t1 = time.time()
+
+        result = track_hand_sequence(
+            handnet_tr.model, handnet_tr.variables, mano, batch,
+            iknet=iknet_tr.model if iknet_tr else None,
+            ik_variables=iknet_tr.variables if iknet_tr else None,
+            use_opt=use_opt, shape_mode=shape_mode,
+            shape_particles=shape_particles, pose_particles=pose_particles,
+            zones=zones, sdf_volume=sdf_volume,
+            energy_weight=energy_weight,
+            use_pred_obj_pose=bool(cfg.get("use_pred_obj_pose", False)),
+            sdf_voxel_scale=HAND_VOXEL_SCALE)
+        jax.block_until_ready(result)
+        t2 = time.time()
+        data_time += t1 - t0
+        net_time += t2 - t1
+        n_frames += batch["hand_points"].shape[0]
+
+        metrics = cvt_numpy(eval_hand_sequence(
+            result, batch["gt_hand_kp"],
+            batch["gt_hand_pose"]["palm_template"][0]))
+        means = {k[5:]: float(v) for k, v in metrics.items()
+                 if k.startswith("mean/")}
+        add_dict(total, means)
+        n_seq += 1
+        print(f"seq {seq_idx}: {({k: round(v, 5) for k, v in means.items()})}")
+
+        if save_flag:
+            _save_sequence(cfg, metas, result, batch, metrics, use_iknet)
+
+    avg = {k: v / max(n_seq, 1) for k, v in total.items()}
+    fps_all = n_frames / max(net_time + data_time, 1e-9)
+    fps_net = n_frames / max(net_time, 1e-9)
+    print(f"frames {n_frames}  FPS(all) {fps_all:.1f}  FPS(network) {fps_net:.1f}")
+    print("overall:", {k: round(v, 5) for k, v in avg.items()})
+    return avg, {"fps_all": fps_all, "fps_network": fps_net}
+
+
+def _hand_volume(cfg, meta0):
+    """151^3 @ 3mm volume for the hand optimizer (optimization_hand.py:189-214)."""
+    import functools
+    from ..sdf.assets import synthetic_box_sdf_setup
+    if cfg.get("sdf_code_source") == "synthetic":
+        return synthetic_box_sdf_setup(HAND_VOLUME_SIZE, HAND_VOXEL_SCALE)
+    from ..sdf.assets import (cat_to_ins_coords, load_obj_for_opt,
+                              load_torch_decoder, load_torch_latent)
+    from ..sdf.volume import bake_sdf_volume, volume_coords
+    assets = load_obj_for_opt(cfg["data_cfg"]["basepath"],
+                              cfg["data_cfg"]["dataset_name"],
+                              cfg.get("sdf_code_source", "pred"),
+                              meta0["file_name"], meta0["category"])
+    decoder, variables = load_torch_decoder(assets.model_pth,
+                                            cfg["opt"]["NetworkSpecs"])
+    latent = load_torch_latent(assets.latent_code_pth)
+    coords = volume_coords(HAND_VOLUME_SIZE, HAND_VOXEL_SCALE)
+    ins = cat_to_ins_coords(coords, assets.normalization)
+    return bake_sdf_volume(decoder.apply, variables, latent, ins,
+                           HAND_VOLUME_SIZE,
+                           float(assets.normalization["scale"][0]))
+
+
+def _save_sequence(cfg, metas, result, batch, metrics, use_iknet):
+    """Trajectory pickle (track_network.py:252-298)."""
+    t = result.pred_kp.shape[0]
+    save_dict = {
+        "gt_hand_kp": [np.asarray(batch["gt_hand_kp"][i]) for i in range(t)],
+        "pred_hand_kp": [np.asarray(result.pred_kp[i]) for i in range(t)],
+        "file_name": [m["file_name"] for m in metas],
+        "kp_error": np.asarray(metrics["hand_pred_kp_diff"]),
+        "r_error": np.asarray(metrics["hand_pred_r_diff"]),
+        "t_error": np.asarray(metrics["hand_pred_t_diff"]),
+    }
+    if use_iknet:
+        quat = matrix_to_unit_quaternion(result.global_rotation)
+        global_aa = mano_quat2axisang(quat)
+        save_dict["pred_hand_poses"] = {
+            "mano_pose": np.asarray(jnp.concatenate(
+                [global_aa, result.mano_theta], axis=-1)),
+            "mano_trans": np.asarray(result.global_translation[..., 0]),
+            "mano_beta": np.asarray(result.pred_beta),
+        }
+        save_dict["baseline_pred_kp"] = [
+            np.asarray(result.baseline_pred_kp[i]) for i in range(t)]
+
+    ds = cfg["data_cfg"]["dataset_name"]
+    if ds in ("HO3D", "DexYCB"):
+        name = metas[0]["file_name"].replace("/", "_") + ".pkl"
+        save_dict["CAD_ID"] = metas[0]["category"]
+    else:
+        name = metas[0]["category"] + "_" + metas[0]["file_name"][:-4] + ".pkl"
+    os.makedirs(cfg["save_dir"], exist_ok=True)
+    with open(pjoin(cfg["save_dir"], name), "wb") as f:
+        pickle.dump(save_dict, f)

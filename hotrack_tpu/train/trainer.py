@@ -1,0 +1,298 @@
+"""Trainer: optimizer/scheduler factory, jitted train/eval steps, checkpoints.
+
+Parity: /root/reference/network/trainer.py. Reproduced semantics:
+  - Adam(weight_decay) == torch-style coupled L2 (optax add_decayed_weights
+    feeding adam), SGD momentum 0.9 (trainer.py:66-80);
+  - step LR schedule gamma^(epoch//step) with warm-up and lr_clip floor
+    (trainer.py:42-63, 167-178);
+  - BatchNorm momentum decay momentum_original * momentum_decay^(epoch//step),
+    clipped at momentum_min (trainer.py:180-190) — threaded into every BN as a
+    call-time argument;
+  - model factory keyed on cfg['track'] (trainer.py:113-142);
+  - checkpoint save/resume with multi-source composition for tracking
+    (handnet/IKnet from separate experiment dirs, trainer.py:192-268) — orbax
+    checkpoints of {params, batch_stats, opt_state, epoch}.
+
+The train step is one jit: forward (BN in train mode, dropout rng), weighted
+loss (cfg network/loss_weight, trainer.py:157), grads, optax update.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from os.path import join as pjoin
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import orbax.checkpoint as ocp
+
+from ..config.config import ensure_dirs
+from ..mano.model import get_mano_model
+from ..models.hand_network import (
+    HandTrackNet,
+    IKNet,
+    hand_tracknet_loss,
+    iknet_loss,
+)
+from ..models.hand_utils import handkp2palmkp
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    epoch: jnp.ndarray      # ()
+    iteration: jnp.ndarray  # ()
+
+
+def lr_schedule(cfg: dict, epoch):
+    """Step decay + warm-up + floor (trainer.py:42-63, 167-178)."""
+    base = cfg["learning_rate"]
+    if cfg.get("lr_policy", "constant") == "step":
+        lr = base * cfg["lr_gamma"] ** (epoch // cfg["lr_step_size"])
+        lr = jnp.maximum(lr, cfg.get("lr_clip", 0.0))
+    else:
+        lr = jnp.asarray(base)
+    warm = cfg.get("warm_up", 0)
+    if warm > 0:
+        lr = jnp.where(epoch < warm, base * (epoch + 1) / warm, lr)
+    return lr
+
+
+def bn_momentum_schedule(cfg: dict, epoch):
+    """momentum_original * decay^(epoch//step), floored (trainer.py:180-190)."""
+    m = cfg.get("momentum_original", 0.1) * (
+        cfg.get("momentum_decay", 0.5) ** (epoch // cfg.get("momentum_step_size", 20)))
+    return jnp.maximum(m, cfg.get("momentum_min", 0.01))
+
+
+def make_optimizer(cfg: dict):
+    """Optimizer with an injectable learning rate (via inject_hyperparams)."""
+    if cfg["optimizer"] == "Adam":
+        def opt_fn(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(cfg.get("weight_decay", 0.0)),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale_by_learning_rate(learning_rate),
+            )
+    elif cfg["optimizer"] == "SGD":
+        def opt_fn(learning_rate):
+            return optax.sgd(learning_rate, momentum=0.9)
+    else:
+        raise ValueError(cfg["optimizer"])
+    return optax.inject_hyperparams(opt_fn)(learning_rate=cfg["learning_rate"])
+
+
+def summarize_losses(loss_dict: dict, loss_weights: dict):
+    """Weighted total (trainer.py:157-165): only keys in loss_weight count."""
+    total = 0.0
+    for key, w in loss_weights.items():
+        total = total + w * loss_dict[key]
+    out = dict(loss_dict)
+    out["total_loss"] = total
+    return total, out
+
+
+class Trainer:
+    """Model factory + train/test steps + checkpoints (trainer.py:105-330)."""
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.ckpt_dir = os.path.abspath(pjoin(cfg["experiment_dir"], "ckpt"))
+        ensure_dirs(self.ckpt_dir)
+        self.loss_weights = cfg["network"].get("loss_weight", {})
+        self.track = cfg.get("track", False)
+        self.mano = get_mano_model(cfg.get("mano_root"))
+
+        net_cfg = cfg["pointnet"]["camera"]
+        self.network_type = cfg["network"]["type"]
+        if self.network_type == "HandTrackNet":
+            self.model = HandTrackNet(
+                net_cfg=_freeze(net_cfg),
+                backbone_out_dim=cfg["network"]["backbone_out_dim"],
+                handframe=cfg["network"]["handframe"])
+        elif self.network_type == "iknet":
+            self.model = IKNet(iknetframe=cfg["network"].get("iknetframe", "kp"))
+        else:
+            raise NotImplementedError(self.network_type)
+
+        self.optimizer = make_optimizer(cfg)
+        self.state: TrainState | None = None
+        self.checkpointer = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------- init
+    def init_state(self, example_batch: dict, seed: int = 0) -> TrainState:
+        key = jax.random.PRNGKey(seed)
+        variables = self._init_variables(key, example_batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params, batch_stats, opt_state,
+                                jnp.asarray(0), jnp.asarray(0))
+        return self.state
+
+    def _init_variables(self, key, batch):
+        if self.network_type == "HandTrackNet":
+            return self.model.init(
+                key, batch["hand_points"], batch["jittered_hand_kp"],
+                batch["gt_hand_pose"]["palm_template"])
+        return self.model.init(
+            key, batch["jittered_hand_kp"],
+            batch["gt_hand_pose"]["palm_template"])
+
+    # ------------------------------------------------------------ steps
+    @partial(jax.jit, static_argnames=("self",))
+    def _train_step(self, state: TrainState, batch: dict, rng):
+        cfg = self.cfg
+        lr = lr_schedule(cfg, state.epoch)
+        momentum = bn_momentum_schedule(cfg, state.epoch)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if self.network_type == "HandTrackNet":
+                ret, mutated = self.model.apply(
+                    variables, batch["hand_points"], batch["jittered_hand_kp"],
+                    batch["gt_hand_pose"]["palm_template"],
+                    train=True, bn_momentum=momentum,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                loss_dict, _ = hand_tracknet_loss(
+                    ret, batch["gt_hand_kp"],
+                    gt_palm_template=batch["gt_hand_pose"]["palm_template"])
+            else:
+                ret, mutated = self.model.apply(
+                    variables, batch["jittered_hand_kp"],
+                    batch["gt_hand_pose"]["palm_template"],
+                    train=True, bn_momentum=momentum,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                gt_quat = _gt_joint_quats(batch)
+                loss_dict, _ = iknet_loss(ret, gt_quat, batch["gt_hand_kp"])
+            total, loss_dict = summarize_losses(loss_dict, self.loss_weights
+                                                or _default_weights(loss_dict))
+            return total, (loss_dict, mutated["batch_stats"])
+
+        (_, (loss_dict, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        opt_state = _set_lr(state.opt_state, lr)
+        updates, opt_state = self.optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, new_bs, opt_state, state.epoch,
+                               state.iteration + 1)
+        return new_state, loss_dict
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _eval_step(self, state: TrainState, batch: dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if self.network_type == "HandTrackNet":
+            ret = self.model.apply(
+                variables, batch["hand_points"], batch["jittered_hand_kp"],
+                batch["gt_hand_pose"]["palm_template"], train=False)
+            loss_dict, _ = hand_tracknet_loss(
+                ret, batch["gt_hand_kp"],
+                gt_palm_template=batch["gt_hand_pose"]["palm_template"])
+        else:
+            ret = self.model.apply(
+                variables, batch["jittered_hand_kp"],
+                batch["gt_hand_pose"]["palm_template"], train=False)
+            loss_dict, _ = iknet_loss(ret, _gt_joint_quats(batch),
+                                      batch["gt_hand_kp"])
+        return loss_dict
+
+    def update(self, batch: dict, rng) -> dict:
+        self.state, loss_dict = self._train_step(self.state, batch, rng)
+        return loss_dict
+
+    def test(self, batch: dict) -> dict:
+        return self._eval_step(self.state, batch)
+
+    def step_epoch(self):
+        self.state = self.state._replace(epoch=self.state.epoch + 1)
+
+    # ------------------------------------------------------ checkpoints
+    def save(self, epoch: int | None = None):
+        epoch = int(self.state.epoch) if epoch is None else epoch
+        path = pjoin(self.ckpt_dir, f"model_{epoch:04d}")
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "epoch": np.asarray(int(self.state.epoch))}
+        self.checkpointer.save(path, tree, force=True)
+        # orbax saves asynchronously; block so a process exit right after
+        # the final epoch can't leave an .orbax-checkpoint-tmp behind
+        self.checkpointer.wait_until_finished()
+        print(f"saved checkpoint {path}")
+        return path
+
+    def resume(self, path: str | None = None) -> bool:
+        """Load latest (or given) checkpoint; tolerant like trainer.py:240-249."""
+        if path is None:
+            if not os.path.isdir(self.ckpt_dir):
+                return False
+            ckpts = sorted(d for d in os.listdir(self.ckpt_dir)
+                           if d.startswith("model_") and "tmp" not in d)
+            if not ckpts:
+                return False
+            path = pjoin(self.ckpt_dir, ckpts[-1])
+        assert self.state is not None, "init_state before resume"
+        tmpl = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "epoch": np.asarray(0)}
+        tree = self.checkpointer.restore(path, tmpl)
+        self.state = self.state._replace(
+            params=tree["params"], batch_stats=tree["batch_stats"],
+            epoch=jnp.asarray(int(tree["epoch"])))
+        print(f"resumed from {path} (epoch {int(tree['epoch'])})")
+        return True
+
+    @property
+    def variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+
+def _default_weights(loss_dict):
+    """Training without explicit loss_weight falls back to the quat loss for
+    IKNet (hand_network.py:332) or kp loss for HandTrackNet."""
+    if "quat_loss" in loss_dict:
+        return {"quat_loss": 1.0}
+    return {"hand_pred_kp_loss": 1.0}
+
+
+def _gt_joint_quats(batch):
+    """Annotated MANO joint quats, global stripped (hand_network.py:310-312)."""
+    from ..pose.rotations import mano_axisang2quat
+    return mano_axisang2quat(batch["gt_hand_pose"]["mano_pose"])[:, 4:]
+
+
+def _set_lr(opt_state, lr):
+    """Poke the injected learning_rate hyperparameter."""
+    try:
+        opt_state.hyperparams["learning_rate"] = lr
+    except (AttributeError, TypeError):
+        pass
+    return opt_state
+
+
+def _freeze(d):
+    """Nested dict -> hashable structure for flax module attributes."""
+    if isinstance(d, dict):
+        return _Frozen({k: _freeze(v) for k, v in d.items()})
+    if isinstance(d, list):
+        return tuple(_freeze(v) for v in d)
+    return d
+
+
+class _Frozen(dict):
+    """Hashable read-only dict (flax module attributes must be hashable)."""
+
+    def __hash__(self):
+        return hash(tuple(sorted((k, _hashable(v)) for k, v in self.items())))
+
+    def __setitem__(self, *a):
+        raise TypeError("frozen")
+
+
+def _hashable(v):
+    return tuple(v) if isinstance(v, (list, tuple)) else v

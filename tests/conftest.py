@@ -7,7 +7,11 @@ set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the shell exports JAX_PLATFORMS=axon (the real TPU tunnel) and
+# the axon sitecustomize overrides even an env-level JAX_PLATFORMS=cpu —
+# running the suite against the single remote TPU serializes every compile
+# through the tunnel. jax.config.update below is the authoritative override.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +21,7 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")  # beats the axon sitecustomize
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compilation cache: repeat test runs skip XLA recompiles

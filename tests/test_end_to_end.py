@@ -1,0 +1,144 @@
+"""End-to-end harness tests on the synthetic dataset: training reduces loss;
+single-frame eval runs; both tracking drivers produce sane trajectories."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hotrack_tpu.config import get_config
+from hotrack_tpu.data import get_dataloader, prepare_batch
+from hotrack_tpu.data.synthetic import generate_simgrasp_dataset
+from hotrack_tpu.mano import synthetic_mano_model
+from hotrack_tpu.opt import presample_particles
+from hotrack_tpu.sdf.assets import synthetic_box_sdf_setup
+from hotrack_tpu.track import track_hand_sequence, track_obj_sequence
+from hotrack_tpu.track.eval import eval_hand_sequence, eval_obj_sequence
+from hotrack_tpu.train import Trainer
+
+SMALL_NET = {"pointnet_cfg": {"camera": "pointnet2_camera_shallow1.yml"}}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e_root")
+    mano = synthetic_mano_model()
+    generate_simgrasp_dataset(str(root), num_instances=2, num_frames=8,
+                              points_per_part=400, mano_model=mano)
+    os.environ["HOTRACK_DATA_ROOT"] = str(root)
+    return root, mano
+
+
+def _small_cfg(extra=None):
+    args = {"config": "handtracknet_train_SimGrasp.yml",
+            "num_points": 64, "batch_size": 4,
+            "network/backbone_out_dim": 48}
+    args.update(extra or {})
+    cfg = get_config(args, save=False)
+    # shrink the backbone for test compile times
+    cfg["pointnet"]["camera"] = {
+        "sa1": {"npoint": 32, "radius_list": [0.1], "nsample_list": [8],
+                "mlp_list": [[16, 16, 32]]},
+        "sa2": {"npoint": 16, "radius_list": [0.2], "nsample_list": [8],
+                "mlp_list": [[32, 32, 64]]},
+        "sa3": {"mlp": [64, 64, 128]},
+        "fp3": {"mlp": [64, 64]},
+        "fp2": {"mlp": [64, 64]},
+        "fp1": {"mlp": [64, 64]},
+    }
+    return cfg
+
+
+@pytest.mark.slow
+def test_training_reduces_loss(env):
+    _, mano = env
+    cfg = _small_cfg()
+    loader = get_dataloader(cfg, "train")
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+
+    key = jax.random.PRNGKey(0)
+    batches = []
+    for raw, _ in loader:
+        key, k = jax.random.split(key)
+        batches.append(prepare_batch(mano, jax.tree.map(jnp.asarray, raw), k,
+                                     cfg["num_points"], hand_jitter_scale=0.02))
+    trainer.init_state(batches[0])
+
+    losses = []
+    for step in range(14):
+        key, k = jax.random.split(key)
+        loss = trainer.update(batches[step % len(batches)], k)
+        losses.append(float(loss["hand_pred_kp_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+    eval_loss = trainer.test(batches[0])
+    assert np.isfinite(float(eval_loss["hand_pred_kp_diff"]))
+
+    # checkpoint roundtrip
+    path = trainer.save(0)
+    before = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    trainer.resume(path)
+    after = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.slow
+def test_hand_tracking_driver(env):
+    _, mano = env
+    cfg = _small_cfg({"track": "hand", "batch_size": 1,
+                      "hand_jitter_cfg/rand_scale": 0.01})
+    loader = get_dataloader(cfg, "test")
+    raw, metas = loader[0]
+    key = jax.random.PRNGKey(1)
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw), key,
+                          cfg["num_points"], hand_jitter_scale=0.01)
+
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+    trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
+
+    result = track_hand_sequence(trainer.model, trainer.variables, mano, batch)
+    assert result.pred_kp.shape == (8, 21, 3)
+    metrics = eval_hand_sequence(result, batch["gt_hand_kp"],
+                                 batch["gt_hand_pose"]["palm_template"][0])
+    assert np.isfinite(float(metrics["mean/hand_pred_kp_diff"]))
+    # untrained net: predictions should still be in the vicinity of the hand
+    # (canonicalization + residual head keep the init kps as baseline)
+    assert float(metrics["mean/hand_pred_kp_diff"]) < 0.5
+
+
+@pytest.mark.slow
+def test_obj_tracking_driver(env):
+    _, mano = env
+    cfg = _small_cfg({"track": "obj_opt", "batch_size": 1, "num_points": 128,
+                      "obj_jitter_cfg/r": 5, "obj_jitter_cfg/t": 0.02})
+    loader = get_dataloader(cfg, "test")
+    raw, metas = loader[0]
+    key = jax.random.PRNGKey(2)
+    batch = prepare_batch(
+        mano, jax.tree.map(jnp.asarray, raw), key, cfg["num_points"],
+        obj_jitter={"rotation": float(np.deg2rad(5)), "translation": 0.02,
+                    "scale": 0.0})
+
+    volume = synthetic_box_sdf_setup(101, 0.004)
+    particles = presample_particles(jax.random.PRNGKey(3), 512, 6)
+    result = track_obj_sequence(
+        volume, particles, batch["obj_points"],
+        batch["jittered_obj_pose"]["rotation"][0],
+        batch["jittered_obj_pose"]["translation"][0],
+        voxel_scale=0.004, bbox_res=101)
+    assert result.rotation.shape == (8, 3, 3)
+
+    metrics = eval_obj_sequence(result, batch["gt_obj_pose"]["rotation"],
+                                batch["gt_obj_pose"]["translation"],
+                                sym_axis=1)
+    # tracked pose should beat the jittered init on average
+    init_t_err = float(jnp.linalg.norm(
+        batch["jittered_obj_pose"]["translation"][0]
+        - batch["gt_obj_pose"]["translation"][0]))
+    assert float(metrics["mean/tdiff_0"]) < max(init_t_err, 0.02) * 1.5
+    assert np.isfinite(float(metrics["mean/rdiff_0"]))
