@@ -171,15 +171,19 @@ class DexYCBDataset:
         kp = np.asarray(kp[0])
 
         from PIL import Image
+        from .. import native
         with Image.open(pjoin(self.root,
                               f"{seq}/aligned_depth_to_color_{fid:06d}.png")) as di:
-            depth = np.array(di) / 1000.0
-        labels = anno["seg"]
-        obj_pcd = depth_to_cloud_strided(depth, labels == obj_id, k)
-        hand_pcd = depth_to_cloud_strided(depth, labels == 255, k)
-        obj_pcd = obj_pcd[np.linalg.norm(obj_pcd - obj_trans[None], axis=-1)
-                          < scale / 2]
-        hand_pcd = hand_pcd[np.linalg.norm(hand_pcd - kp[9], axis=-1) < 0.15]
+            depth = (np.array(di) / 1000.0).astype(np.float32)
+        labels = anno["seg"].astype(np.uint8)
+        # fused backproject + label split + radius filter at stride 2
+        # (DexYCB_dataset.py:96-109) via the native library
+        obj_pcd = native.backproject_filter(
+            depth, labels, int(obj_id), k[0][0], k[1][1], k[0][2], k[1][2],
+            center=obj_trans, radius=float(scale / 2), stride=2)
+        hand_pcd = native.backproject_filter(
+            depth, labels, 255, k[0][0], k[1][1], k[0][2], k[1][2],
+            center=kp[9], radius=0.15, stride=2)
         if len(hand_pcd) == 0 or len(obj_pcd) == 0:
             return empty_frame(self.budget), meta
 

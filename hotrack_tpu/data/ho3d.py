@@ -109,9 +109,13 @@ class HO3DDataset:
             return pickle.load(f, encoding="latin1")
 
     def _clouds(self, seq: str, fid: str):
-        """(hand_pcld, obj_pcld, camMat, anno) (HO3D_dataset.py:88-112)."""
+        """(hand_pcld, obj_pcld, camMat, anno) (HO3D_dataset.py:88-112).
+
+        Uses the native fused decode/backproject/split when available
+        (hotrack_tpu/native): one pass over the image instead of the
+        reference's decode -> full-frame cloud -> mask-gather pipeline."""
         import cv2
-        depth = read_depth_img(pjoin(self.root, f"train/{seq}/depth/{fid}.png"))
+        from .. import native
         anno = self._anno(seq, fid)
         if seq[-2].isnumeric():
             calib = pjoin(self.root, "calibration", seq[:-1], "calibration",
@@ -119,16 +123,21 @@ class HO3DDataset:
             k = get_intrinsics(calib).tolist()
         else:
             k = anno["camMat"]
+        depth_img = cv2.imread(pjoin(self.root, f"train/{seq}/depth/{fid}.png"))
+        depth = native.decode_ho3d_depth(depth_img, DEPTH_SCALE)
         mask = cv2.imread(pjoin(self.root, f"train/{seq}/seg/{fid}.png"))
         mask = cv2.resize(mask, (WIDTH, HEIGHT),
-                          interpolation=cv2.INTER_NEAREST).reshape(-1, 3)
-        cld, choose = depth_to_cloud(depth, k)
-        if cld is None:
-            return None, None, k, anno
-        cld[:, 1] *= -1
-        cld[:, 2] *= -1
-        mask = mask[choose]
-        return cld[mask[:, 0] == 255], cld[mask[:, 1] == 255], k, anno
+                          interpolation=cv2.INTER_NEAREST)
+        fx, fy = k[0][0], k[1][1]
+        cx, cy = k[0][2], k[1][2]
+        hand_mask = (mask[:, :, 0] == 255).astype("uint8")
+        obj_mask = (mask[:, :, 1] == 255).astype("uint8")
+        # sign flips y/z like the reference (HO3D_dataset.py:104-105)
+        hand = native.backproject_filter(depth, hand_mask, 1, fx, fy, cx, cy,
+                                         sign_y=-1.0, sign_z=-1.0)
+        obj = native.backproject_filter(depth, obj_mask, 1, fx, fy, cx, cy,
+                                        sign_y=-1.0, sign_z=-1.0)
+        return hand, obj, k, anno
 
     def _load_pred_obj_pose(self, seq, start_frame, cur_frame):
         pkl = pjoin(self.pred_obj_pose_dir,

@@ -38,6 +38,8 @@ def build_arg_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true", default=None)
     p.add_argument("--epochs", type=int, default=None,
                    help="override total_epoch")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler trace into this directory")
     return p
 
 
@@ -166,15 +168,25 @@ def test_main(argv=None):
     args = parse_with_overrides(build_arg_parser("test"))
     cfg = get_config(args, save=False)
     save_flag = bool(cfg.pop("save", False))
+    profile_dir = cfg.pop("profile", None)
 
-    track = cfg.get("track")
-    if not track:
-        return _test_single_frame(cfg)
-    if track == "obj_opt":
-        from .run_obj_track import run_obj_tracking
-        return run_obj_tracking(cfg, save_flag)
-    from .run_hand_track import run_hand_tracking
-    return run_hand_tracking(cfg, save_flag)
+    if profile_dir:
+        # jax profiler trace of the whole eval (SURVEY §5.1: the reference
+        # has wall-clock timers only; this adds device-level tracing)
+        jax.profiler.start_trace(profile_dir)
+    try:
+        track = cfg.get("track")
+        if not track:
+            return _test_single_frame(cfg)
+        if track == "obj_opt":
+            from .run_obj_track import run_obj_tracking
+            return run_obj_tracking(cfg, save_flag)
+        from .run_hand_track import run_hand_tracking
+        return run_hand_tracking(cfg, save_flag)
+    finally:
+        if profile_dir:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {profile_dir}")
 
 
 def _test_single_frame(cfg):

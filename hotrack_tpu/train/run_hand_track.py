@@ -96,8 +96,10 @@ def run_hand_tracking(cfg, save_flag: bool = False):
                               cfg["num_points"],
                               hand_jitter_scale=hj["rand_scale"],
                               jitter_kind=hj["rand_type"])
+        background_masks = None
         if use_opt:
             sdf_volume = _hand_volume(cfg, metas[0])
+            background_masks = jnp.asarray(load_background_masks(cfg, metas))
         jax.block_until_ready(batch["hand_points"])
         t1 = time.time()
 
@@ -108,6 +110,7 @@ def run_hand_tracking(cfg, save_flag: bool = False):
             use_opt=use_opt, shape_mode=shape_mode,
             shape_particles=shape_particles, pose_particles=pose_particles,
             zones=zones, sdf_volume=sdf_volume,
+            background_masks=background_masks,
             energy_weight=energy_weight,
             use_pred_obj_pose=bool(cfg.get("use_pred_obj_pose", False)),
             sdf_voxel_scale=HAND_VOXEL_SCALE)
@@ -135,6 +138,45 @@ def run_hand_tracking(cfg, save_flag: bool = False):
     print(f"frames {n_frames}  FPS(all) {fps_all:.1f}  FPS(network) {fps_net:.1f}")
     print("overall:", {k: round(v, 5) for k, v in avg.items()})
     return avg, {"fps_all": fps_all, "fps_network": fps_net}
+
+
+def load_background_masks(cfg, metas) -> "np.ndarray":
+    """Pre-load the per-frame background silhouette masks for one sequence
+    (True = background pixel). The reference reads these from disk *inside*
+    the 5120-particle optimizer's per-frame setup (optimization_hand.py:
+    316-333); here the whole (T, H, W) stack is loaded once per sequence and
+    scanned on device."""
+    import cv2
+    ds = cfg["data_cfg"]["dataset_name"]
+    root = cfg["data_cfg"]["basepath"]
+    masks = []
+    for meta in metas:
+        fname = meta["file_name"]
+        if ds == "HO3D":
+            seq, fid = fname.split("/")
+            img = cv2.imread(pjoin(root, f"train/{seq}/seg/{fid}.png"))
+            img = cv2.resize(img, (640, 480), interpolation=cv2.INTER_NEAREST)
+            masks.append(img.sum(axis=-1) == 0)
+        elif ds == "SimGrasp":
+            path = pjoin(root, "masks/%s/seq/%s.png" % (meta["category"], fname))
+            if os.path.exists(path):
+                img = cv2.imread(path)
+                masks.append(img.sum(axis=-1) == 0)
+            else:  # synthetic datasets ship no masks -> no silhouette term
+                masks.append(np.zeros((1, 1), bool))
+        elif ds == "DexYCB":
+            parts = fname.split("+")
+            lbl = np.load(pjoin(root, "%s/%s/%s/labels_%s.npz"
+                                % (parts[0], parts[1], parts[2], parts[3])))
+            masks.append(lbl["seg"] == 0)
+        else:
+            masks.append(np.zeros((1, 1), bool))
+    h = max(m.shape[0] for m in masks)
+    w = max(m.shape[1] for m in masks)
+    out = np.zeros((len(masks), h, w), bool)
+    for i, m in enumerate(masks):
+        out[i, :m.shape[0], :m.shape[1]] = m
+    return out
 
 
 def _hand_volume(cfg, meta0):
