@@ -63,17 +63,27 @@ def main():
     trainer.mano = mano
     trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
 
-    def run():
-        return track_hand_sequence(trainer.model, trainer.variables, mano, batch)
+    def run(b):
+        return track_hand_sequence(trainer.model, trainer.variables, mano, b)
 
-    # warm-up / compile
-    jax.block_until_ready(run())
-    # timed steady state
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        jax.block_until_ready(run())
-    dt = (time.perf_counter() - t0) / reps
+    def chained(reps):
+        """Chain each rep's output into the next rep's input and fetch the
+        final result to the host: block_until_ready through the remote TPU
+        tunnel does not reliably wait, so only a data dependency + host
+        fetch gives honest wall-clock."""
+        pts = batch["hand_points"]
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            b = dict(batch)
+            b["hand_points"] = pts
+            result = run(b)
+            pts = batch["hand_points"] + 0.0 * jnp.mean(result.pred_kp)
+        np.asarray(pts)  # force full materialization
+        return time.perf_counter() - t0
+
+    chained(1)  # warm-up / compile
+    reps = int(os.environ.get("BENCH_REPS", 5))
+    dt = chained(reps) / reps
     frames = batch["hand_points"].shape[0]
     fps = frames / dt
 

@@ -34,26 +34,35 @@ def _round_up(x: int, m: int) -> int:
 
 def _fps_kernel(xyz_ref, mask_ref, idx_ref, *, npoint: int):
     """One batch element per grid step. Block shapes: xyz (1, 3, Np),
-    mask (1, 1, Np) f32, idx out (1, 1, npoint_pad) i32."""
+    mask (1, 1, Np) f32, idx out (1, 1, npoint_pad) i32.
+
+    Selected indices accumulate in a vector register (out_lanes == i selects
+    the slot) and are stored once at the end — Mosaic requires lane-aligned
+    vector stores, so a per-iteration 1-lane store won't compile."""
     n = xyz_ref.shape[-1]
+    out_pad = idx_ref.shape[-1]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), dimension=1)
+    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, out_pad), dimension=1)
     xyz = xyz_ref[0]      # (3, n)
     valid = mask_ref[0] > 0.5  # (1, n)
     big = jnp.float32(1e10)
     init_dist = jnp.where(valid, big, -1.0)  # (1, n)
 
     def body(i, state):
-        min_dist, farthest = state
-        idx_ref[0, 0, pl.ds(i, 1)] = farthest.reshape(1)
+        min_dist, farthest, acc = state
+        acc = jnp.where(out_lanes == i, farthest, acc)
         onehot = lanes == farthest  # (1, n)
         cur = jnp.sum(jnp.where(onehot, xyz, 0.0), axis=1, keepdims=True)
         diff = xyz - cur
         dist = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, n)
         min_dist = jnp.minimum(min_dist, jnp.where(valid, dist, -1.0))
         farthest = jnp.argmax(min_dist, axis=1)[0].astype(jnp.int32)
-        return min_dist, farthest
+        return min_dist, farthest, acc
 
-    jax.lax.fori_loop(0, npoint, body, (init_dist, jnp.int32(0)))
+    acc0 = jnp.zeros((1, out_pad), jnp.int32)
+    _, _, acc = jax.lax.fori_loop(0, npoint, body,
+                                  (init_dist, jnp.int32(0), acc0))
+    idx_ref[0] = acc
 
 
 @partial(jax.jit, static_argnames=("npoint", "interpret"))
