@@ -113,6 +113,8 @@ def optimize_hand_pose(
     energy_weight: dict,             # the cfg opt/energy_weight map
     voxel_scale: float = 0.003,
     iterations: int = POSE_SPEC.iterations,
+    distilled=None,                  # DistilledSDF: MXU-bound queries instead
+                                     # of the gather-bound nearest-voxel lookup
 ):
     """Returns (final_kp (1,21,3), theta (1,45), rotation (1,3,3),
     translation (1,3,1), final_energy)."""
@@ -139,8 +141,12 @@ def optimize_hand_pose(
 
         # object-frame SDF at hand verts (optimization_hand.py:252-262)
         obj_frame = jnp.matmul(hand - obj_translation[None, None], obj_rotation)
-        sdf = nearest_sdf(sdf_volume, obj_frame, voxel_scale,
-                          sdf_volume.shape[0])  # (P, 778)
+        if distilled is not None:
+            from ..sdf.distill import eval_distilled_sdf
+            sdf = eval_distilled_sdf(distilled, obj_frame)  # (P, 778)
+        else:
+            sdf = nearest_sdf(sdf_volume, obj_frame, voxel_scale,
+                              sdf_volume.shape[0])  # (P, 778)
 
         # silhouette (:234-240)
         pts2d = world2point2d(hand, intrinsics["fx"], intrinsics["fy"],

@@ -62,6 +62,7 @@ def track_hand_sequence(
     energy_weight: dict | None = None,
     use_pred_obj_pose: bool = False,
     sdf_voxel_scale: float = 0.003,
+    distilled=None,                  # DistilledSDF for the pose optimizer
 ) -> HandTrackResult:
     """Track one sequence. `frames` fields are (T, ...) device arrays."""
     t_total = frames["hand_points"].shape[0]
@@ -150,7 +151,7 @@ def track_hand_sequence(
                     obj_rotation=obj_r, obj_translation=obj_t,
                     background_mask=bg_mask, intrinsics=intr,
                     energy_weight=energy_weight,
-                    voxel_scale=sdf_voxel_scale)
+                    voxel_scale=sdf_voxel_scale, distilled=distilled)
                 pred_kp = opt_kp
             else:
                 pred_kp = iknet_predict_kp(mano_model, ik_ret, shape_code)

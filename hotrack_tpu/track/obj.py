@@ -28,12 +28,13 @@ def track_obj_sequence(
     init_translation: jnp.ndarray,  # (3, 1)
     voxel_scale: float = 0.002,
     bbox_res: int = 201,
+    distilled=None,               # DistilledSDF (sdf/distill.py)
 ) -> ObjTrackResult:
     def step(carry, pcld):
         r, t = carry
         r, t, energy = optimize_obj_pose(
             sdf_volume, presampled, pcld, r, t,
-            voxel_scale=voxel_scale, bbox_res=bbox_res)
+            voxel_scale=voxel_scale, bbox_res=bbox_res, distilled=distilled)
         return (r, t), (r, t, energy)
 
     _, (rs, ts, energies) = jax.lax.scan(

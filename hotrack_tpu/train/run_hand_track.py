@@ -97,8 +97,14 @@ def run_hand_tracking(cfg, save_flag: bool = False):
                               hand_jitter_scale=hj["rand_scale"],
                               jitter_kind=hj["rand_type"])
         background_masks = None
+        distilled = None
         if use_opt:
             sdf_volume = _hand_volume(cfg, metas[0])
+            if cfg.get("sdf_query", "distilled" if jax.default_backend() == "tpu"
+                       else "volume") == "distilled":
+                from ..sdf.distill import distill_sdf_volume
+                key, kd = jax.random.split(key)
+                distilled = distill_sdf_volume(sdf_volume, HAND_VOXEL_SCALE, kd)
             background_masks = jnp.asarray(load_background_masks(cfg, metas))
         jax.block_until_ready(batch["hand_points"])
         t1 = time.time()
@@ -113,7 +119,7 @@ def run_hand_tracking(cfg, save_flag: bool = False):
             background_masks=background_masks,
             energy_weight=energy_weight,
             use_pred_obj_pose=bool(cfg.get("use_pred_obj_pose", False)),
-            sdf_voxel_scale=HAND_VOXEL_SCALE)
+            sdf_voxel_scale=HAND_VOXEL_SCALE, distilled=distilled)
         jax.block_until_ready(result)
         t2 = time.time()
         data_time += t1 - t0

@@ -27,6 +27,7 @@ from ..sdf.assets import (
     load_torch_latent,
     synthetic_box_sdf_setup,
 )
+from ..sdf.distill import distill_sdf_volume
 from ..sdf.volume import bake_sdf_volume, volume_coords
 from ..track.eval import eval_obj_sequence
 from ..track.obj import track_obj_sequence
@@ -74,15 +75,34 @@ def run_obj_tracking(cfg, save_flag: bool = False):
                               cfg["num_points"], obj_jitter=obj_jitter,
                               obj_jitter_kind=oj["type"])
         volume = _sequence_volume(cfg, metas[0])
+        # default on TPU: distill the volume into an MXU-bound neural SDF
+        # (sdf/distill.py) — the trilinear gather path runs at ~scalar speed
+        # on TPU (26x slower measured). cfg sdf_query: distilled|volume.
+        sdf_query = cfg.get("sdf_query",
+                            "distilled" if jax.default_backend() == "tpu"
+                            else "volume")
+        distilled = None
+        if sdf_query == "distilled":
+            key, kd = jax.random.split(key)
+            distilled = distill_sdf_volume(volume, VOXEL_SCALE, kd)
         init_r = batch["jittered_obj_pose"]["rotation"][0]
         init_t = batch["jittered_obj_pose"]["translation"][0]
         jax.block_until_ready((batch["obj_points"], volume))
         t1 = time.time()
 
-        result = track_obj_sequence(volume, particles, batch["obj_points"],
-                                    init_r, init_t,
-                                    voxel_scale=VOXEL_SCALE,
-                                    bbox_res=VOLUME_SIZE)
+        # chunked scans: keep single device programs bounded (long volume-mode
+        # scans can trip the worker watchdog; HO3D sequences reach 2000 frames)
+        chunk = int(cfg.get("scan_chunk", 100 if distilled is not None else 10))
+        results = []
+        r, t = init_r, init_t
+        pts = batch["obj_points"]
+        for s in range(0, pts.shape[0], chunk):
+            part = track_obj_sequence(volume, particles, pts[s:s + chunk],
+                                      r, t, voxel_scale=VOXEL_SCALE,
+                                      bbox_res=VOLUME_SIZE, distilled=distilled)
+            r, t = part.rotation[-1], part.translation[-1]
+            results.append(part)
+        result = jax.tree.map(lambda *xs: jnp.concatenate(xs), *results)
         jax.block_until_ready(result)
         t2 = time.time()
         data_time += t1 - t0

@@ -1,0 +1,73 @@
+"""Distilled neural SDF: accuracy vs the trilinear volume + optimizer use."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hotrack_tpu.opt import optimize_obj_pose, presample_particles
+from hotrack_tpu.pose.rotations import rot_diff_degree, rotvec_to_matrix
+from hotrack_tpu.sdf.distill import distill_sdf_volume, eval_distilled_sdf
+from hotrack_tpu.sdf.volume import trilinear_sdf, volume_coords
+
+
+def _box_volume(size, voxel_scale, half=(0.04, 0.06, 0.02)):
+    c = volume_coords(size, voxel_scale)
+    q = jnp.abs(c) - jnp.asarray(half)
+    outside = jnp.linalg.norm(jnp.clip(q, min=0.0), axis=-1)
+    inside = jnp.clip(jnp.max(q, axis=-1), max=0.0)
+    return (outside + inside).reshape(size, size, size)
+
+
+@pytest.fixture(scope="module")
+def distilled_box():
+    size, scale = 65, 0.004
+    vol = _box_volume(size, scale)
+    model = distill_sdf_volume(vol, scale, jax.random.PRNGKey(0),
+                               steps=1200, batch=4096)
+    return vol, model, size, scale
+
+
+@pytest.mark.slow
+def test_distill_accuracy(distilled_box):
+    vol, model, size, scale = distilled_box
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-0.1, 0.1, (4000, 3)), jnp.float32)
+    gt = trilinear_sdf(vol, pts, scale, size, bbox_min=-(size // 2) * scale)
+    pred = eval_distilled_sdf(model, pts)
+    err = np.abs(np.asarray(pred) - np.asarray(gt))
+    near = np.abs(np.asarray(gt)) < 0.02
+    # sub-voxel: ~1.4 mm mean near-surface at 1200 CI steps (4 mm voxels);
+    # ~1 mm at full 4000 steps on the 201^3 @ 2 mm operating point (v5e)
+    assert err[near].mean() < 0.004, err[near].mean()
+    assert err.mean() < 0.004, err.mean()
+
+
+@pytest.mark.slow
+def test_distilled_pose_recovery(distilled_box):
+    """The particle optimizer must recover poses through the distilled SDF."""
+    vol, model, size, scale = distilled_box
+    rng = np.random.RandomState(1)
+    half = np.array([0.04, 0.06, 0.02])
+    pts = rng.uniform(-1, 1, (384, 3)) * half
+    face = rng.randint(0, 3, len(pts))
+    sign = rng.choice([-1.0, 1.0], len(pts))
+    pts[np.arange(len(pts)), face] = sign * half[face]
+    obj_pts = jnp.asarray(pts, jnp.float32)
+
+    gt_r = rotvec_to_matrix(jnp.asarray(rng.randn(3) * 0.4, jnp.float32))
+    gt_t = jnp.asarray(rng.randn(3, 1) * 0.05, jnp.float32)
+    cam = obj_pts @ gt_r.T + gt_t[:, 0]
+    init_r = gt_r @ rotvec_to_matrix(jnp.asarray([0.07, -0.05, 0.04], jnp.float32))
+    init_t = gt_t + jnp.asarray([[0.008], [-0.01], [0.009]], jnp.float32)
+
+    particles = presample_particles(jax.random.PRNGKey(2), 512, 6)
+    r, t, e = optimize_obj_pose(vol, particles, cam, init_r, init_t,
+                                voxel_scale=scale, bbox_res=size,
+                                distilled=model)
+    err0 = float(rot_diff_degree(init_r, gt_r))
+    err1 = float(rot_diff_degree(r, gt_r))
+    terr0 = float(jnp.linalg.norm(init_t - gt_t))
+    terr1 = float(jnp.linalg.norm(t - gt_t))
+    assert err1 < err0, (err0, err1)
+    assert terr1 < terr0, (terr0, terr1)
