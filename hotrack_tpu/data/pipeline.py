@@ -67,6 +67,7 @@ def prepare_batch(
     obj_jitter: dict | None = None,  # {'rotation' rad, 'translation', 'scale'}
     obj_jitter_kind: str = "normal",
     template_with_theta: bool = False,
+    include_obb: bool = False,       # handframe='OBB': per-frame OBB canon pose
 ) -> dict:
     """RawFrame batch -> full_data dict of device arrays.
 
@@ -119,7 +120,18 @@ def prepare_batch(
     else:
         jittered_obj = dict(gt_obj)
 
+    out_extra = {}
+    if include_obb:
+        # OBB canonical frame of the sampled hand cloud (data_utils.py:169-202,
+        # computed in the reference's loader for handframe='OBB')
+        from ..models.hand_utils import obb_frame
+        obb = obb_frame(hand_points)
+        out_extra["OBB_pose"] = {"rotation": obb.rotation,
+                                 "translation": obb.translation,
+                                 "scale": obb.scale}
+
     return {
+        **out_extra,
         "hand_points": hand_points,
         "hand_valid": hand_valid,
         "obj_points": obj_points,

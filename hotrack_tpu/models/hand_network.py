@@ -83,6 +83,8 @@ class HandTrackNet(nn.Module):
     net_cfg: Mapping[str, Any]          # pointnet backbone config
     backbone_out_dim: int = 384
     handframe: str = "kp"               # 'kp' | 'OBB' | 'camera'
+    use_attention: bool = False         # enable the MHA paths (the reference
+                                        # ships them disabled, attn=False)
 
     @nn.compact
     def __call__(self, hand_points, jittered_kp, palm_template=None,
@@ -131,11 +133,12 @@ class HandTrackNet(nn.Module):
             train=train, bn_momentum=bn_momentum)
         f14 = RearrangeModule(d, name="r2")(f13)
 
-        # ---- FFN-mode fusion (hand_network.py:137-140) ----
+        # ---- fusion: FFN-mode by default (hand_network.py:137-140) ----
         f15, f251 = TransT(d, name="transt")(f14, pos1, src2, pos2,
-                                             attn=False, train=train)
+                                             attn=self.use_attention,
+                                             train=train)
         fused = AttnModule(d, name="c3")(f15, pos1, f251, pos2,
-                                         attn=False, train=train)
+                                         attn=self.use_attention, train=train)
 
         # ---- delta head (hand_network.py:74-76,142) ----
         h = nn.relu(nn.Dense(256, name="final_mlp_0")(fused))

@@ -16,3 +16,12 @@ __all__ = [
     "SetAbstractionAtCenters", "SetAbstractionMsg", "SharedMLP",
     "AttnModule", "TransT", "PointNet2Encoder", "PointNet2Msg",
 ]
+
+from .point_transformer import (
+    PointTransformerDownBlock,
+    PointTransformerLayer,
+    PointTransformerResBlock,
+    PointTransformerTransitionDown,
+    PointTransformerTransitionUp,
+    PointTransformerUpBlock,
+)

@@ -155,6 +155,28 @@ def read_ply(path: str):
     return np.asarray(verts), np.asarray(faces, np.int64)
 
 
+def read_obj(path: str):
+    """Minimal Wavefront OBJ vertex/face reader (replaces trimesh.load for
+    chamfer eval against gt meshes, track_network.py:396-399)."""
+    verts, faces = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(t) for t in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(t.split("/")[0]) - 1 for t in line.split()[1:]]
+                for i in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return np.asarray(verts), np.asarray(faces, np.int64)
+
+
+def load_mesh(path: str):
+    """Dispatch .obj / .ply."""
+    if path.endswith(".obj"):
+        return read_obj(path)
+    return read_ply(path)
+
+
 def sample_surface(verts: np.ndarray, faces: np.ndarray, n: int,
                    rng: np.random.RandomState | None = None) -> np.ndarray:
     """Uniform surface sampling (replaces trimesh.sample.sample_surface,

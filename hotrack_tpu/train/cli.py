@@ -92,7 +92,8 @@ def prepare(trainer: Trainer, raw, key, cfg):
     return prepare_batch(trainer.mano, jax.tree.map(jnp.asarray, raw), key,
                          cfg["num_points"], hand_jitter_scale=scale,
                          jitter_kind=kind, obj_jitter=obj,
-                         obj_jitter_kind=obj_kind)
+                         obj_jitter_kind=obj_kind,
+                         include_obb=cfg["network"].get("handframe") == "OBB")
 
 
 def train_main(argv=None):

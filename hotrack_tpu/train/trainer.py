@@ -114,7 +114,8 @@ class Trainer:
             self.model = HandTrackNet(
                 net_cfg=_freeze(net_cfg),
                 backbone_out_dim=cfg["network"]["backbone_out_dim"],
-                handframe=cfg["network"]["handframe"])
+                handframe=cfg["network"]["handframe"],
+                use_attention=cfg["network"].get("use_attention", False))
         elif self.network_type == "iknet":
             self.model = IKNet(iknetframe=cfg["network"].get("iknetframe", "kp"))
         else:
@@ -129,6 +130,8 @@ class Trainer:
         key = jax.random.PRNGKey(seed)
         variables = self._init_variables(key, example_batch)
         params = variables["params"]
+        if self.cfg.get("weight_init") == "xavier":
+            params = _xavier_reinit(params, jax.random.PRNGKey(seed + 1))
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.optimizer.init(params)
         self.state = TrainState(params, batch_stats, opt_state,
@@ -139,7 +142,8 @@ class Trainer:
         if self.network_type == "HandTrackNet":
             return self.model.init(
                 key, batch["hand_points"], batch["jittered_hand_kp"],
-                batch["gt_hand_pose"]["palm_template"])
+                batch["gt_hand_pose"]["palm_template"],
+                obb_pose=_obb_pose(self.model, batch))
         return self.model.init(
             key, batch["jittered_hand_kp"],
             batch["gt_hand_pose"]["palm_template"])
@@ -151,12 +155,14 @@ class Trainer:
         lr = lr_schedule(cfg, state.epoch)
         momentum = bn_momentum_schedule(cfg, state.epoch)
 
+        obb_pose = _obb_pose(self.model, batch)
+
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             if self.network_type == "HandTrackNet":
                 ret, mutated = self.model.apply(
                     variables, batch["hand_points"], batch["jittered_hand_kp"],
-                    batch["gt_hand_pose"]["palm_template"],
+                    batch["gt_hand_pose"]["palm_template"], obb_pose=obb_pose,
                     train=True, bn_momentum=momentum,
                     mutable=["batch_stats"], rngs={"dropout": rng})
                 loss_dict, _ = hand_tracknet_loss(
@@ -189,7 +195,8 @@ class Trainer:
         if self.network_type == "HandTrackNet":
             ret = self.model.apply(
                 variables, batch["hand_points"], batch["jittered_hand_kp"],
-                batch["gt_hand_pose"]["palm_template"], train=False)
+                batch["gt_hand_pose"]["palm_template"],
+                obb_pose=_obb_pose(self.model, batch), train=False)
             loss_dict, _ = hand_tracknet_loss(
                 ret, batch["gt_hand_kp"],
                 gt_palm_template=batch["gt_hand_pose"]["palm_template"])
@@ -273,6 +280,35 @@ def _set_lr(opt_state, lr):
     except (AttributeError, TypeError):
         pass
     return opt_state
+
+
+def _obb_pose(model, batch):
+    """CanonPose from the pipeline's OBB entry for handframe='OBB'."""
+    if getattr(model, "handframe", None) != "OBB":
+        return None
+    from ..models.hand_utils import CanonPose
+    p = batch["OBB_pose"]
+    return CanonPose(p["rotation"], p["translation"], p["scale"])
+
+
+def _xavier_reinit(params, key):
+    """Re-sample 2D kernels with xavier normal, gain sqrt(2) — the
+    reference's weights_init('xavier') (trainer.py:20-39). Biases stay zero;
+    norm scales/biases untouched."""
+    import math
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
+    keys = jax.random.split(key, len(leaves))
+    out = []
+    for (path, leaf), k in zip(leaves, keys):
+        name = path[-1].key if hasattr(path[-1], "key") else ""
+        if name == "kernel" and leaf.ndim == 2:
+            fan_in, fan_out = leaf.shape
+            std = math.sqrt(2.0) * math.sqrt(2.0 / (fan_in + fan_out))
+            leaf = jax.random.normal(k, leaf.shape, leaf.dtype) * std
+        elif name == "bias":
+            leaf = jnp.zeros_like(leaf)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def _freeze(d):

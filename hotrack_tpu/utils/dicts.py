@@ -60,6 +60,22 @@ def log_loss_summary(loss_dict: dict, cnt: int, log_fn):
             log_fn(k, v / max(cnt, 1))
 
 
+def dump_csv(path: str, rows: dict, per_instance_keys=None):
+    """Per-instance CSV dump (utils.py:262-279): rows maps column name ->
+    list/array of per-instance values."""
+    import csv
+
+    keys = list(per_instance_keys or rows.keys())
+    cols = {k: np.asarray(rows[k]).reshape(-1) for k in keys}
+    n = max(len(v) for v in cols.values())
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(keys)
+        for i in range(n):
+            writer.writerow([cols[k][i] if i < len(cols[k]) else ""
+                             for k in keys])
+
+
 class Timer:
     """Wall-clock segment timer (utils.py:150-163)."""
 
