@@ -56,7 +56,8 @@ def jitter_obj_pose(key: jax.Array, rotation, translation, scale,
 
 
 @partial(jax.jit, static_argnames=("num_points", "jitter_kind",
-                                   "obj_jitter_kind", "template_with_theta"))
+                                   "obj_jitter_kind", "template_with_theta",
+                                   "include_obb"))
 def prepare_batch(
     mano_model: ManoModel,
     raw: RawFrame,                  # batched (leading axis B)

@@ -44,7 +44,8 @@ def _rest_palm_template(mano_model: ManoModel, beta: jnp.ndarray) -> jnp.ndarray
     return handkp2palmkp(kp)
 
 
-@partial(jax.jit, static_argnames=("handnet", "iknet", "use_opt", "shape_mode"))
+@partial(jax.jit, static_argnames=("handnet", "iknet", "use_opt", "shape_mode",
+                                   "use_pred_obj_pose", "sdf_voxel_scale"))
 def track_hand_sequence(
     handnet: HandTrackNet,
     variables: Any,                  # handnet flax variables
