@@ -157,5 +157,7 @@ def get_dataloader(cfg, mode: str, shuffle: bool | None = None):
     single = SingleFrameData(dataset)
     if shuffle is None:
         shuffle = mode == "train"
+    # train drops ragged tails (stable jit shapes per epoch); eval keeps every
+    # frame (one extra compile for the final partial batch)
     return BatchIterator(single, cfg["batch_size"], shuffle=shuffle,
-                         seed=cfg.get("seed", 0))
+                         seed=cfg.get("seed", 0), drop_last=(mode == "train"))

@@ -199,7 +199,7 @@ def _test_single_frame(cfg):
     trainer.init_state(prepare(trainer, raw0, k0, cfg))
     trainer.resume()
 
-    total, cnt = {}, 0
+    total, cnt, n_batches = {}, 0, 0
     data_time, net_time = 0.0, 0.0
     t0 = time.time()
     for raw, _ in loader:
@@ -208,14 +208,17 @@ def _test_single_frame(cfg):
         jax.block_until_ready(batch)
         t1 = time.time()
         loss = trainer.test(batch)
-        jax.block_until_ready(loss)
+        # force materialization: the remote-TPU tunnel's block_until_ready is
+        # unreliable for timing, a host fetch is not
+        loss = cvt_numpy(loss)
         t2 = time.time()
         data_time += t1 - t0
         net_time += t2 - t1
-        add_dict(total, cvt_numpy(loss))
+        add_dict(total, loss)
         cnt += batch["hand_points"].shape[0]
+        n_batches += 1
         t0 = time.time()
-    avg = divide_dict(total, max(cnt, 1) // max(cfg["batch_size"], 1))
+    avg = divide_dict(total, max(n_batches, 1))
     fps_all = cnt / max(data_time + net_time, 1e-9)
     fps_net = cnt / max(net_time, 1e-9)
     print(f"frames {cnt}  FPS(all) {fps_all:.1f}  FPS(network) {fps_net:.1f}")
