@@ -53,6 +53,10 @@ def main():
     cfg = get_config({"config": "handtracknet_test_SimGrasp.yml",
                       "experiment_dir": "bench", "save_dir": "bench"},
                      save=False)
+    # BENCH_DTYPE=bfloat16 runs the MXU work in bf16 (default: f32 parity)
+    dtype = os.environ.get("BENCH_DTYPE")
+    if dtype:
+        cfg["network"]["compute_dtype"] = dtype
     loader = get_dataloader(cfg, "test")
     raw, _ = loader[0]
     key = jax.random.PRNGKey(0)

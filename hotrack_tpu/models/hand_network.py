@@ -85,6 +85,8 @@ class HandTrackNet(nn.Module):
     handframe: str = "kp"               # 'kp' | 'OBB' | 'camera'
     use_attention: bool = False         # enable the MHA paths (the reference
                                         # ships them disabled, attn=False)
+    compute_dtype: str | None = None    # e.g. 'bfloat16': MXU work in bf16
+                                        # (params/BN/LN/canonicalization f32)
 
     @nn.compact
     def __call__(self, hand_points, jittered_kp, palm_template=None,
@@ -117,31 +119,30 @@ class HandTrackNet(nn.Module):
         pos2, pos1 = pos[:, :-kp_num], pos[:, -kp_num:]
 
         # ---- backbone over the cloud (hand_network.py:130) ----
-        src2 = PointNet2Msg(self.net_cfg, d, name="bhand")(
-            xyz2, valid_mask, train, bn_momentum)
+        src2 = PointNet2Msg(self.net_cfg, d, dtype=self.compute_dtype,
+                            name="bhand")(xyz2, valid_mask, train, bn_momentum)
 
         # ---- keypoint-centred feature queries (hand_network.py:61-69,132-134)
         q_kwargs = dict(radius_list=(0.2, 0.2), nsample_list=(16, 64),
                         mlp_list=((128, 128, d // 2), (128, 128, d // 2)),
-                        knn=True)
+                        knn=True, dtype=self.compute_dtype)
         f11, pre_group_idx = SetAbstractionAtCenters(**q_kwargs, name="q1")(
             xyz2, src2, xyz1, None, return_group_idx=True,
             valid_mask=valid_mask, train=train, bn_momentum=bn_momentum)
-        f12 = RearrangeModule(d, name="r1")(f11)
+        f12 = RearrangeModule(d, dtype=self.compute_dtype, name="r1")(f11)
         f13 = SetAbstractionAtCenters(**q_kwargs, name="q2")(
             xyz2, src2, xyz1, f12, pre_group_idx=pre_group_idx,
             train=train, bn_momentum=bn_momentum)
-        f14 = RearrangeModule(d, name="r2")(f13)
+        f14 = RearrangeModule(d, dtype=self.compute_dtype, name="r2")(f13)
 
         # ---- fusion: FFN-mode by default (hand_network.py:137-140) ----
-        f15, f251 = TransT(d, name="transt")(f14, pos1, src2, pos2,
-                                             attn=self.use_attention,
-                                             train=train)
-        fused = AttnModule(d, name="c3")(f15, pos1, f251, pos2,
-                                         attn=self.use_attention, train=train)
+        f15, f251 = TransT(d, dtype=self.compute_dtype, name="transt")(
+            f14, pos1, src2, pos2, attn=self.use_attention, train=train)
+        fused = AttnModule(d, dtype=self.compute_dtype, name="c3")(
+            f15, pos1, f251, pos2, attn=self.use_attention, train=train)
 
-        # ---- delta head (hand_network.py:74-76,142) ----
-        h = nn.relu(nn.Dense(256, name="final_mlp_0")(fused))
+        # ---- delta head (hand_network.py:74-76,142): f32 for the residual ----
+        h = nn.relu(nn.Dense(256, name="final_mlp_0")(fused.astype(jnp.float32)))
         pred_kp_handframe = nn.Dense(3, name="final_mlp_2")(h) + xyz1
 
         ret = {

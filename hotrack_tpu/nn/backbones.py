@@ -36,6 +36,7 @@ class PointNet2Msg(nn.Module):
     net_cfg: Mapping[str, Any]
     out_dim: int
     use_xyz_feat: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, points, valid_mask=None, train: bool = False,
@@ -50,15 +51,15 @@ class PointNet2Msg(nn.Module):
         sa1 = SetAbstractionMsg(npoint=c["sa1"]["npoint"],
                                 radius_list=tuple(c["sa1"]["radius_list"]),
                                 nsample_list=tuple(c["sa1"]["nsample_list"]),
-                                mlp_list=tuple(map(tuple, c["sa1"]["mlp_list"])), name="sa1")
+                                mlp_list=tuple(map(tuple, c["sa1"]["mlp_list"])), dtype=self.dtype, name="sa1")
         sa2 = SetAbstractionMsg(npoint=c["sa2"]["npoint"],
                                 radius_list=tuple(c["sa2"]["radius_list"]),
                                 nsample_list=tuple(c["sa2"]["nsample_list"]),
-                                mlp_list=tuple(map(tuple, c["sa2"]["mlp_list"])), name="sa2")
-        sa3 = SetAbstractionAll(mlp=tuple(c["sa3"]["mlp"]), name="sa3")
-        fp3 = FeaturePropagation(mlp=tuple(c["fp3"]["mlp"]), name="fp3")
-        fp2 = FeaturePropagation(mlp=tuple(c["fp2"]["mlp"]), name="fp2")
-        fp1 = FeaturePropagation(mlp=tuple(c["fp1"]["mlp"]), name="fp1")
+                                mlp_list=tuple(map(tuple, c["sa2"]["mlp_list"])), dtype=self.dtype, name="sa2")
+        sa3 = SetAbstractionAll(mlp=tuple(c["sa3"]["mlp"]), dtype=self.dtype, name="sa3")
+        fp3 = FeaturePropagation(mlp=tuple(c["fp3"]["mlp"]), dtype=self.dtype, name="fp3")
+        fp2 = FeaturePropagation(mlp=tuple(c["fp2"]["mlp"]), dtype=self.dtype, name="fp2")
+        fp1 = FeaturePropagation(mlp=tuple(c["fp1"]["mlp"]), dtype=self.dtype, name="fp1")
 
         l1_xyz, l1 = sa1(xyz, feats, valid_mask, train, bn_momentum)
         l2_xyz, l2 = sa2(l1_xyz, l1, None, train, bn_momentum)
@@ -68,8 +69,11 @@ class PointNet2Msg(nn.Module):
         l0_in = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
         l0 = fp1(xyz, l1_xyz, l0_in, l1, train, bn_momentum)
 
-        out = nn.Dense(self.out_dim, name="conv1")(l0)
-        out = BatchNorm(name="bn1")(out, train=train, momentum=bn_momentum)
+        import jax.numpy as jnp
+        cd = jnp.dtype(self.dtype) if self.dtype else None
+        out = nn.Dense(self.out_dim, dtype=cd, name="conv1")(l0)
+        out = BatchNorm(name="bn1")(out.astype(jnp.float32), train=train,
+                                    momentum=bn_momentum)
         return nn.relu(out)
 
 

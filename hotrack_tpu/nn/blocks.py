@@ -33,13 +33,15 @@ class RearrangeModule(nn.Module):
     """
 
     channel: int = 384
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x):
         perms = [list(REARRANGE_1), list(REARRANGE_2), list(REARRANGE_3),
                  list(REARRANGE_4)]
         x = jnp.concatenate([x] + [x[:, p, :] for p in perms], axis=-1)
-        return nn.Dense(self.channel)(x)
+        cd = jnp.dtype(self.dtype) if self.dtype else None
+        return nn.Dense(self.channel, dtype=cd)(x)
 
 
 class MLPConv(nn.Module):

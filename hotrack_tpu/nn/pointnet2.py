@@ -37,15 +37,25 @@ class SharedMLP(nn.Module):
     """Per-point MLP: [Dense -> BN -> ReLU] x len(features).
 
     Matches the conv(1x1)+BN+ReLU stacks built inline by every reference SA/FP
-    module (e.g. pointnet_utils.py:199-209, 242-246)."""
+    module (e.g. pointnet_utils.py:199-209, 242-246). `dtype` sets the
+    computation dtype (bf16 halves MXU time; params/BN stats stay f32)."""
 
     features: Sequence[int]
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, bn_momentum=0.1):
+        import jax.numpy as jnp
+        cd = jnp.dtype(self.dtype) if self.dtype else None
+        if cd is not None:
+            x = x.astype(cd)
         for f in self.features:
-            x = nn.Dense(f)(x)
-            x = BatchNorm()(x, train=train, momentum=bn_momentum)
+            x = nn.Dense(f, dtype=cd)(x)
+            # BN statistics in f32 for stability, output back in compute dtype
+            x = BatchNorm()(x.astype(jnp.float32), train=train,
+                            momentum=bn_momentum)
+            if cd is not None:
+                x = x.astype(cd)
             x = nn.relu(x)
         return x
 
@@ -75,6 +85,7 @@ class SetAbstractionMsg(nn.Module):
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
     knn: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz, feats=None, valid_mask=None, train: bool = False,
@@ -91,7 +102,7 @@ class SetAbstractionMsg(nn.Module):
             else:
                 group_idx = query_ball_point(radius, k, xyz, new_xyz, valid_mask)
             grouped, _ = _group(xyz, feats, new_xyz, group_idx)
-            h = SharedMLP(self.mlp_list[i])(grouped, train, bn_momentum)
+            h = SharedMLP(self.mlp_list[i], dtype=self.dtype)(grouped, train, bn_momentum)
             outs.append(jnp.max(h, axis=2))  # max over K neighbors
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -101,13 +112,15 @@ class SetAbstractionAll(nn.Module):
     (PointNetSetAbstraction with group_all=True, pointnet_utils.py:302-343)."""
 
     mlp: Sequence[int]
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz, feats=None, train: bool = False, bn_momentum=0.1):
         """xyz (B, N, 3), feats (B, N, D) -> new_xyz (B, 1, 3) zeros,
         new_feats (B, 1, mlp[-1])."""
         grouped = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
-        h = SharedMLP(self.mlp)(grouped[:, None], train, bn_momentum)  # (B,1,N,C)
+        h = SharedMLP(self.mlp, dtype=self.dtype)(grouped[:, None], train,
+                                                  bn_momentum)  # (B,1,N,C)
         new_feats = jnp.max(h, axis=2)
         return jnp.zeros_like(xyz[:, :1, :]), new_feats
 
@@ -117,6 +130,7 @@ class FeaturePropagation(nn.Module):
     (PointNetFeaturePropagation, pointnet_utils.py:253-299)."""
 
     mlp: Sequence[int]
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, train: bool = False,
@@ -134,7 +148,7 @@ class FeaturePropagation(nn.Module):
             interpolated = jnp.sum(gathered * weight[..., None], axis=2)
         if feats1 is not None:
             interpolated = jnp.concatenate([feats1, interpolated], axis=-1)
-        return SharedMLP(self.mlp)(interpolated, train, bn_momentum)
+        return SharedMLP(self.mlp, dtype=self.dtype)(interpolated, train, bn_momentum)
 
 
 class SetAbstractionAtCenters(nn.Module):
@@ -148,6 +162,7 @@ class SetAbstractionAtCenters(nn.Module):
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
     knn: bool = False
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, xyz, feats, centers, center_feats=None,
@@ -174,7 +189,7 @@ class SetAbstractionAtCenters(nn.Module):
                     center_feats[:, :, None, :],
                     grouped.shape[:3] + (center_feats.shape[-1],))
                 grouped = jnp.concatenate([grouped, tiled], axis=-1)
-            h = SharedMLP(self.mlp_list[i])(grouped, train, bn_momentum)
+            h = SharedMLP(self.mlp_list[i], dtype=self.dtype)(grouped, train, bn_momentum)
             outs.append(jnp.max(h, axis=2))
         new_feats = jnp.concatenate(outs, axis=-1)
         if return_4nn:

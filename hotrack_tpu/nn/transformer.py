@@ -27,6 +27,7 @@ class AttnModule(nn.Module):
     nhead: int = 8
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, src1, pos1, src2, pos2, attn: bool = True,
@@ -43,11 +44,15 @@ class AttnModule(nn.Module):
             src1_new = src1 + nn.Dropout(self.dropout, deterministic=not train)(out)
         else:
             src1_new = src1
-        src1_new = nn.LayerNorm(epsilon=1e-5)(src1_new)  # torch eps
+        import jax.numpy as jnp
+        cd = jnp.dtype(self.dtype) if self.dtype else None
+        src1_new = nn.LayerNorm(epsilon=1e-5)(
+            src1_new.astype(jnp.float32))  # torch eps; LN stats in f32
         if not self.no_linear:
-            h = nn.relu(nn.Dense(self.dim_feedforward)(src1_new))
+            h = nn.relu(nn.Dense(self.dim_feedforward, dtype=cd)(src1_new))
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
-            h = nn.Dense(self.d_model)(h)
+            h = nn.Dense(self.d_model, dtype=cd)(h)
+            h = h.astype(jnp.float32)
             src1_new = src1_new + nn.Dropout(self.dropout, deterministic=not train)(h)
             src1_new = nn.LayerNorm(epsilon=1e-5)(src1_new)  # torch eps
         return src1_new
@@ -57,12 +62,17 @@ class TransT(nn.Module):
     """2x self + 2x cross attention stack (TransT, transformer.py:16-29)."""
 
     d_model: int = 384
+    dtype: str | None = None
 
     @nn.compact
     def __call__(self, src1, pos1, src2, pos2, attn: bool = True,
                  train: bool = False):
-        src11 = AttnModule(self.d_model, no_linear=True)(src1, pos1, src1, pos1, attn, train)
-        src12 = AttnModule(self.d_model, no_linear=True)(src2, pos2, src2, pos2, attn, train)
-        result1 = AttnModule(self.d_model)(src11, pos1, src12, pos2, attn, train)
-        result2 = AttnModule(self.d_model)(src12, pos2, src11, pos1, attn, train)
+        src11 = AttnModule(self.d_model, no_linear=True, dtype=self.dtype)(
+            src1, pos1, src1, pos1, attn, train)
+        src12 = AttnModule(self.d_model, no_linear=True, dtype=self.dtype)(
+            src2, pos2, src2, pos2, attn, train)
+        result1 = AttnModule(self.d_model, dtype=self.dtype)(
+            src11, pos1, src12, pos2, attn, train)
+        result2 = AttnModule(self.d_model, dtype=self.dtype)(
+            src12, pos2, src11, pos1, attn, train)
         return result1, result2

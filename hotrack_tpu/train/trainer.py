@@ -115,7 +115,8 @@ class Trainer:
                 net_cfg=_freeze(net_cfg),
                 backbone_out_dim=cfg["network"]["backbone_out_dim"],
                 handframe=cfg["network"]["handframe"],
-                use_attention=cfg["network"].get("use_attention", False))
+                use_attention=cfg["network"].get("use_attention", False),
+                compute_dtype=cfg["network"].get("compute_dtype"))
         elif self.network_type == "iknet":
             self.model = IKNet(iknetframe=cfg["network"].get("iknetframe", "kp"))
         else:
