@@ -38,6 +38,44 @@ from .hand_utils import (
 )
 
 
+def precompute_backbone_indices(net_cfg, hand_points, canon_scale: float = 0.2,
+                                valid_mask=None) -> dict:
+    """Hoist the backbone's geometry indices out of a tracking scan.
+
+    FPS / knn / ball-query indices depend only on pairwise distances, and the
+    per-frame hand-frame canonicalization (hand_utils.py:30-32) is a rigid
+    transform plus the constant scale 0.2 — so the sa1/sa2 indices computed on
+    the *raw* camera-frame cloud (with ball radii scaled by canon_scale) equal
+    those computed inside the scan on canonicalized clouds. Computing them
+    here runs every frame in parallel instead of serializing ~384 FPS argmax
+    steps per frame through the scan carry.
+
+    hand_points: (T, N, 3) raw clouds. Returns the `pre_indices` dict for
+    HandTrackNet/PointNet2Msg: {'sa1': (fps_idx, [group_idx]), 'sa2': ...}.
+    """
+    from ..ops.pointops import (farthest_point_sample, index_points, knn_point,
+                                query_ball_point)
+
+    out = {}
+    xyz = hand_points
+    mask = valid_mask
+    for name in ("sa1", "sa2"):
+        c = net_cfg[name]
+        fps_idx = farthest_point_sample(xyz, c["npoint"], mask)
+        new_xyz = index_points(xyz, fps_idx)
+        groups = []
+        for radius, k in zip(c["radius_list"], c["nsample_list"]):
+            if c.get("knn"):
+                _, gi = knn_point(k, new_xyz, xyz)
+            else:
+                gi = query_ball_point(radius * canon_scale, k, xyz, new_xyz,
+                                      mask)
+            groups.append(gi)
+        out[name] = (fps_idx, groups)
+        xyz, mask = new_xyz, None
+    return out
+
+
 def l2_loss(x, y, mask=None):
     """Mean per-point L2 distance; x, y (B, N, 3), mask (B, N)
     (hand_network.py:23-31, transposed to channels-last)."""
@@ -92,7 +130,7 @@ class HandTrackNet(nn.Module):
     def __call__(self, hand_points, jittered_kp, palm_template=None,
                  obb_pose: CanonPose | None = None, valid_mask=None,
                  compute_visibility: bool = False, train: bool = False,
-                 bn_momentum=0.1):
+                 bn_momentum=0.1, pre_indices=None):
         b, kp_num = jittered_kp.shape[0], jittered_kp.shape[1]
         d = self.backbone_out_dim
         assert d % 6 == 0
@@ -120,7 +158,8 @@ class HandTrackNet(nn.Module):
 
         # ---- backbone over the cloud (hand_network.py:130) ----
         src2 = PointNet2Msg(self.net_cfg, d, dtype=self.compute_dtype,
-                            name="bhand")(xyz2, valid_mask, train, bn_momentum)
+                            name="bhand")(xyz2, valid_mask, train, bn_momentum,
+                                          pre_indices=pre_indices)
 
         # ---- keypoint-centred feature queries (hand_network.py:61-69,132-134)
         q_kwargs = dict(radius_list=(0.2, 0.2), nsample_list=(16, 64),

@@ -40,7 +40,10 @@ class PointNet2Msg(nn.Module):
 
     @nn.compact
     def __call__(self, points, valid_mask=None, train: bool = False,
-                 bn_momentum=0.1):
+                 bn_momentum=0.1, pre_indices=None):
+        """`pre_indices`: optional {'sa1': (fps_idx, [group_idx]), 'sa2': ...}
+        hoisted geometry indices (see models/hand_network.
+        precompute_backbone_indices)."""
         xyz = points[..., :3]
         if self.use_xyz_feat:
             feats = points
@@ -61,8 +64,11 @@ class PointNet2Msg(nn.Module):
         fp2 = FeaturePropagation(mlp=tuple(c["fp2"]["mlp"]), dtype=self.dtype, name="fp2")
         fp1 = FeaturePropagation(mlp=tuple(c["fp1"]["mlp"]), dtype=self.dtype, name="fp1")
 
-        l1_xyz, l1 = sa1(xyz, feats, valid_mask, train, bn_momentum)
-        l2_xyz, l2 = sa2(l1_xyz, l1, None, train, bn_momentum)
+        pre = pre_indices or {}
+        l1_xyz, l1 = sa1(xyz, feats, valid_mask, train, bn_momentum,
+                         pre_indices=pre.get("sa1"))
+        l2_xyz, l2 = sa2(l1_xyz, l1, None, train, bn_momentum,
+                         pre_indices=pre.get("sa2"))
         l3_xyz, l3 = sa3(l2_xyz, l2, train, bn_momentum)
         l2 = fp3(l2_xyz, l3_xyz, l2, l3, train, bn_momentum)
         l1 = fp2(l1_xyz, l2_xyz, l1, l2, train, bn_momentum)

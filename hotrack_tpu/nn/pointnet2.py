@@ -89,15 +89,25 @@ class SetAbstractionMsg(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, feats=None, valid_mask=None, train: bool = False,
-                 bn_momentum=0.1):
+                 bn_momentum=0.1, pre_indices=None):
         """xyz (B, N, 3), feats (B, N, D) or None ->
-        new_xyz (B, npoint, 3), new_feats (B, npoint, sum(mlp[-1]))."""
-        fps_idx = farthest_point_sample(xyz, self.npoint, valid_mask)
+        new_xyz (B, npoint, 3), new_feats (B, npoint, sum(mlp[-1])).
+
+        `pre_indices`: optional (fps_idx (B, npoint), [group_idx (B, S, K)])
+        precomputed outside (e.g. hoisted out of a tracking scan — FPS/knn/
+        ball indices are invariant to the per-frame rigid canonicalization)."""
+        if pre_indices is not None:
+            fps_idx, pre_groups = pre_indices
+        else:
+            fps_idx = farthest_point_sample(xyz, self.npoint, valid_mask)
+            pre_groups = None
         new_xyz = index_points(xyz, fps_idx)
         outs = []
         for i, radius in enumerate(self.radius_list):
             k = self.nsample_list[i]
-            if self.knn:
+            if pre_groups is not None:
+                group_idx = pre_groups[i]
+            elif self.knn:
                 _, group_idx = knn_point(k, new_xyz, xyz)
             else:
                 group_idx = query_ball_point(radius, k, xyz, new_xyz, valid_mask)

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 
 from ..mano.layer import mano_forward
 from ..mano.model import ManoModel
-from ..models.hand_network import HandTrackNet, IKNet, iknet_predict_kp
+from ..models.hand_network import (
+    HandTrackNet,
+    IKNet,
+    iknet_predict_kp,
+    precompute_backbone_indices,
+)
 from ..models.hand_utils import handkp2palmkp
 from ..opt.hand_pose import ContactZones, optimize_hand_pose
 from ..opt.hand_shape import kp2length, optimize_hand_shape
@@ -78,15 +83,29 @@ def track_hand_sequence(
         shape0 = zero_beta
     palm0 = _rest_palm_template(mano_model, zero_beta)
 
-    def run_handnet(hand_points, jittered_kp, palm_template):
+    def run_handnet(hand_points, jittered_kp, palm_template, pre_indices=None):
         return handnet.apply(
             variables, hand_points, jittered_kp, palm_template,
-            compute_visibility=use_iknet, train=False)
+            compute_visibility=use_iknet, train=False,
+            pre_indices=pre_indices)
+
+    # ---- hoist backbone geometry indices out of the scan ----
+    # FPS/knn/ball indices are invariant to the per-frame rigid
+    # canonicalization ('kp'/'camera' frames use the constant scale 0.2), so
+    # all T frames compute in parallel here instead of serializing ~384 FPS
+    # argmax steps per frame through the scan carry. OBB mode has a per-frame
+    # scale, so it keeps in-scan indices.
+    hoist = handnet.handframe != "OBB"
+    pre_all = (precompute_backbone_indices(handnet.net_cfg,
+                                           frames["hand_points"])
+               if hoist else None)
 
     # ---- frame-0 shape optimization (track_network.py:174-178) ----
     if use_iknet and shape_mode in (1, 2, 3):
         ret0 = run_handnet(frames["hand_points"][:1],
-                           frames["jittered_hand_kp"][:1], palm0)
+                           frames["jittered_hand_kp"][:1], palm0,
+                           jax.tree.map(lambda a: a[:1], pre_all)
+                           if hoist else None)
         shape0, _ = optimize_hand_shape(
             mano_model, shape_particles, kp2length(ret0["pred_kp"]))
         palm0 = _rest_palm_template(mano_model, shape0)
@@ -107,7 +126,9 @@ def track_hand_sequence(
         # previous prediction by the current cloud mean (track_network.py:161-163)
         jittered_kp = jnp.where(i == 0, jittered_kp0[None], last_kp + cloud_mean)
 
-        ret = run_handnet(hand_points, jittered_kp, palm_template)
+        pre = (jax.tree.map(lambda a: a[None], xs["pre"])
+               if "pre" in xs else None)
+        ret = run_handnet(hand_points, jittered_kp, palm_template, pre)
         baseline_kp = ret["pred_kp"]
         pred_kp = baseline_kp
 
@@ -176,6 +197,7 @@ def track_hand_sequence(
         "hand_points": frames["hand_points"],
         "jittered_hand_kp": frames["jittered_hand_kp"],
         "bg_mask": background_masks,
+        **({"pre": pre_all} if hoist else {}),
         "obj_rotation": frames[obj_pose_key]["rotation"],
         "obj_translation": frames[obj_pose_key]["translation"],
         "projection": frames["projection"],

@@ -170,3 +170,17 @@ def test_iknet_forward_and_mano():
     gt_quat = jnp.asarray(rng.randn(2, 60), jnp.float32)
     loss, _ = iknet_loss(ret, gt_quat, kp)
     assert np.isfinite(float(loss["quat_loss"]))
+
+
+def test_precomputed_indices_match_inscan(handnet):
+    """Hoisted FPS/ball indices (computed on the raw cloud) must reproduce
+    the in-module computation on the canonicalized cloud — rigid+fixed-scale
+    invariance of distance-based index ops."""
+    from hotrack_tpu.models.hand_network import precompute_backbone_indices
+    model, variables, palm = handnet
+    points, kp = _rand_inputs(seed=11)
+    ret0 = model.apply(variables, points, kp, palm)
+    pre = precompute_backbone_indices(NET_CFG, points)
+    ret1 = model.apply(variables, points, kp, palm, pre_indices=pre)
+    np.testing.assert_allclose(np.asarray(ret1["pred_kp"]),
+                               np.asarray(ret0["pred_kp"]), atol=2e-4)
