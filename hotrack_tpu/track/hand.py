@@ -59,7 +59,10 @@ def track_hand_sequence(
     iknet: IKNet | None = None,
     ik_variables: Any = None,
     use_opt: bool = False,
-    shape_mode: int | bool = False,  # False: gt beta; 1: opt @ frame 0; 2: every 10
+    shape_mode: int | bool = False,  # False: gt beta; 1: opt @ frame 0;
+                                     # 2: re-opt every 10 frames;
+                                     # 3: every 10 frames on the history of
+                                     #    predicted bone lengths
     shape_particles: jnp.ndarray | None = None,   # (P, 10)
     pose_particles: jnp.ndarray | None = None,    # (P, 16)
     zones: ContactZones | None = None,
@@ -118,7 +121,7 @@ def track_hand_sequence(
     def step(carry, xs):
         i, hand_points, jittered_kp0, bg_mask = (
             xs["i"], xs["hand_points"], xs["jittered_hand_kp"], xs["bg_mask"])
-        last_kp, palm_template, shape_code = carry
+        last_kp, palm_template, shape_code = carry[:3]
         hand_points = hand_points[None]  # (1, N, 3)
 
         cloud_mean = jnp.mean(hand_points, axis=-2, keepdims=True)
@@ -142,6 +145,34 @@ def track_hand_sequence(
                 def reopt(sc):
                     new_shape, _ = optimize_hand_shape(
                         mano_model, shape_particles, kp2length(baseline_kp))
+                    return new_shape, _rest_palm_template(mano_model, new_shape)
+
+                def keep(sc):
+                    return sc, palm_template
+
+                shape_code, palm_template = jax.lax.cond(
+                    (i % 10 == 0) & (i > 0), reopt, keep, shape_code)
+            elif shape_mode == 3:
+                # mode 3 (track_network.py:184-188): accumulate the per-frame
+                # predicted bone lengths (set_init_para use_old,
+                # optimization_hand.py:63-72) in a fixed-size ring buffer and
+                # re-optimize against the whole history every 10 frames
+                bone_history, hist_count = carry[3], carry[4]
+                slot = jnp.mod(hist_count, bone_history.shape[0])
+                bone_history = bone_history.at[slot].set(
+                    kp2length(baseline_kp)[0])
+                hist_count = hist_count + 1
+
+                def reopt(sc):
+                    n = bone_history.shape[0]
+                    filled = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+                              < jnp.minimum(hist_count, n))
+                    # pad unused slots with the newest row (weightless repeat
+                    # keeps the mean |bone diff| energy semantics intact)
+                    newest = bone_history[slot]
+                    hist = jnp.where(filled, bone_history, newest)
+                    new_shape, _ = optimize_hand_shape(
+                        mano_model, shape_particles, hist)
                     return new_shape, _rest_palm_template(mano_model, new_shape)
 
                 def keep(sc):
@@ -179,6 +210,9 @@ def track_hand_sequence(
                 pred_kp = iknet_predict_kp(mano_model, ik_ret, shape_code)
 
         new_last = pred_kp - cloud_mean  # (track_network.py:212-213)
+        new_carry = (new_last, palm_template, shape_code)
+        if shape_mode == 3:
+            new_carry = new_carry + (bone_history, hist_count)
         out = {
             "pred_kp": pred_kp[0],
             "baseline_pred_kp": baseline_kp[0],
@@ -188,7 +222,7 @@ def track_hand_sequence(
             "global_translation": global_t[0] if global_t.ndim == 3 else global_t,
             "MANO_theta": theta[0],
         }
-        return (new_last, palm_template, shape_code), out
+        return new_carry, out
 
     if background_masks is None:
         background_masks = jnp.zeros((t_total, 1, 1), bool)
@@ -203,7 +237,11 @@ def track_hand_sequence(
         "projection": frames["projection"],
     }
     carry0 = (jnp.zeros((1, 21, 3), dtype), palm0, shape0)
-    (_, _, shape_final), outs = jax.lax.scan(step, carry0, xs)
+    if shape_mode == 3:
+        # 64-frame bone-length history ring buffer (15 non-tip bones)
+        carry0 = carry0 + (jnp.zeros((64, 15), dtype), jnp.asarray(0))
+    final_carry, outs = jax.lax.scan(step, carry0, xs)
+    shape_final = final_carry[2]
 
     return HandTrackResult(
         pred_kp=outs["pred_kp"],

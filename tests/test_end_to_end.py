@@ -143,3 +143,34 @@ def test_obj_tracking_driver(env):
         - batch["gt_obj_pose"]["translation"][0]))
     assert float(metrics["mean/tdiff_0"]) < max(init_t_err, 0.02) * 1.5
     assert np.isfinite(float(metrics["mean/rdiff_0"]))
+
+
+@pytest.mark.slow
+def test_hand_tracking_shape_modes(env):
+    """IKNet tracking with shape modes 1/2/3 runs and returns finite betas."""
+    from hotrack_tpu.models import IKNet
+    from hotrack_tpu.opt import presample_particles
+
+    _, mano = env
+    cfg = _small_cfg({"track": "hand_IKNet", "batch_size": 1})
+    loader = get_dataloader(cfg, "test")
+    raw, _ = loader[0]
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(3), cfg["num_points"],
+                          hand_jitter_scale=0.01)
+
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+    trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
+    iknet = IKNet()
+    ik_vars = iknet.init(jax.random.PRNGKey(4), batch["jittered_hand_kp"][:1],
+                         batch["gt_hand_pose"]["palm_template"][:1])
+    particles = presample_particles(jax.random.PRNGKey(5), 256, 10)
+
+    for mode in (1, 2, 3):
+        result = track_hand_sequence(
+            trainer.model, trainer.variables, mano, batch,
+            iknet=iknet, ik_variables=ik_vars,
+            shape_mode=mode, shape_particles=particles)
+        assert result.pred_kp.shape == (8, 21, 3)
+        assert np.isfinite(np.asarray(result.pred_beta)).all(), mode
