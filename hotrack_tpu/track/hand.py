@@ -92,13 +92,19 @@ def track_hand_sequence(
             compute_visibility=use_iknet, train=False,
             pre_indices=pre_indices)
 
-    # ---- hoist backbone geometry indices out of the scan ----
-    # FPS/knn/ball indices are invariant to the per-frame rigid
-    # canonicalization ('kp'/'camera' frames use the constant scale 0.2), so
-    # all T frames compute in parallel here instead of serializing ~384 FPS
-    # argmax steps per frame through the scan carry. OBB mode has a per-frame
-    # scale, so it keeps in-scan indices.
-    hoist = handnet.handframe != "OBB"
+    # ---- optional: hoist backbone geometry indices out of the scan ----
+    # FPS/knn/ball indices are mathematically invariant to the per-frame
+    # rigid canonicalization, so all T frames could compute in parallel here.
+    # OFF by default: in f32 on TPU, rotation changes distance rounding and
+    # FPS's 256-step argmax chain amplifies tie-flips into a *different but
+    # equally valid* sample set — harmless per frame (+1.7mm measured) but a
+    # trained net is sensitive to its training-time sampling pattern and the
+    # tracking feedback loop amplified it 10x (MPJPE 0.043 -> 0.395 on the
+    # synthetic benchmark). Enable via HOTRACK_INDEX_HOIST=1 for throughput
+    # studies or when the net was *trained* with hoisted sampling.
+    import os
+    hoist = handnet.handframe != "OBB" and bool(
+        os.environ.get("HOTRACK_INDEX_HOIST"))
     pre_all = (precompute_backbone_indices(handnet.net_cfg,
                                            frames["hand_points"])
                if hoist else None)
