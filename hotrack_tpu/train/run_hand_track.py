@@ -86,6 +86,22 @@ def run_hand_tracking(cfg, save_flag: bool = False):
         energy_weight = {k: float(v)
                          for k, v in cfg["opt"]["energy_weight"].items()}
 
+    # batched multi-sequence evaluation (experimental): tracking is
+    # sequential within a sequence but embarrassingly parallel across
+    # sequences — vmap N equal-length sequences through one scan (cfg
+    # eval_batch_seqs). Controlled device-side measurements show near-linear
+    # aggregate scaling (BENCHMARKS.md); the end-to-end runner wall-clock is
+    # currently dominated by per-sequence host I/O + dispatch, so treat this
+    # as the deployment skeleton rather than a tuned path. vmap also
+    # fp-reorders per-frame math (metrics equal to ~fp-chaos level). The
+    # optimization path keeps per-sequence execution (per-sequence SDF
+    # volumes/masks).
+    batch_seqs = int(cfg.get("eval_batch_seqs", 1))
+    if batch_seqs > 1 and not use_opt:
+        return _run_batched(cfg, save_flag, loader, mano, key, hj,
+                            handnet_tr, iknet_tr, use_iknet, shape_mode,
+                            shape_particles, batch_seqs)
+
     total, n_seq = {}, 0
     n_frames, net_time, data_time = 0, 0.0, 0.0
     for seq_idx in range(len(loader)):
@@ -144,6 +160,58 @@ def run_hand_tracking(cfg, save_flag: bool = False):
     print(f"frames {n_frames}  FPS(all) {fps_all:.1f}  FPS(network) {fps_net:.1f}")
     print("overall:", {k: round(v, 5) for k, v in avg.items()})
     return avg, {"fps_all": fps_all, "fps_network": fps_net}
+
+
+def _run_batched(cfg, save_flag, loader, mano, key, hj, handnet_tr, iknet_tr,
+                 use_iknet, shape_mode, shape_particles, batch_seqs):
+    """vmap groups of equal-length sequences through the scan driver."""
+    # group sequence indices by length
+    groups = {}
+    for seq_idx in range(len(loader)):
+        t = len(loader.sequences[seq_idx])
+        groups.setdefault(t, []).append(seq_idx)
+
+    track_vmapped = jax.vmap(
+        lambda b: track_hand_sequence(
+            handnet_tr.model, handnet_tr.variables, mano, b,
+            iknet=iknet_tr.model if iknet_tr else None,
+            ik_variables=iknet_tr.variables if iknet_tr else None,
+            shape_mode=shape_mode, shape_particles=shape_particles))
+
+    total, n_seq, n_frames = {}, 0, 0
+    t_start = time.time()
+    for t_len, idxs in groups.items():
+        for s in range(0, len(idxs), batch_seqs):
+            chunk = idxs[s:s + batch_seqs]
+            raws, metas_list = zip(*(loader[i] for i in chunk))
+            key, k1 = jax.random.split(key)
+            batches = [prepare_batch(mano, jax.tree.map(jnp.asarray, r), k1,
+                                     cfg["num_points"],
+                                     hand_jitter_scale=hj["rand_scale"],
+                                     jitter_kind=hj["rand_type"])
+                       for r in raws]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+            results = track_vmapped(stacked)
+            for bi, (batch, metas) in enumerate(zip(batches, metas_list)):
+                result = jax.tree.map(lambda a: a[bi], results)
+                metrics = cvt_numpy(eval_hand_sequence(
+                    result, batch["gt_hand_kp"],
+                    batch["gt_hand_pose"]["palm_template"][0]))
+                means = {k[5:]: float(v) for k, v in metrics.items()
+                         if k.startswith("mean/")}
+                add_dict(total, means)
+                n_seq += 1
+                n_frames += t_len
+                if save_flag:
+                    _save_sequence(cfg, metas, result, batch, metrics,
+                                   use_iknet)
+    wall = time.time() - t_start
+    avg = {k: v / max(n_seq, 1) for k, v in total.items()}
+    fps = n_frames / max(wall, 1e-9)
+    print(f"frames {n_frames}  sequences {n_seq}  batched({batch_seqs}) "
+          f"FPS(all) {fps:.1f}")
+    print("overall:", {k: round(v, 5) for k, v in avg.items()})
+    return avg, {"fps_all": fps, "fps_network": fps}
 
 
 def load_background_masks(cfg, metas) -> "np.ndarray":
