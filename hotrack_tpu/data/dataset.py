@@ -64,9 +64,15 @@ class SequenceData:
         return len(self.sequences)
 
     def __getitem__(self, index):
+        # threaded frame loading: npz/png decode releases the GIL in
+        # numpy/cv2, and per-frame host reads dominate eval wall-clock on
+        # single-core hosts
+        import concurrent.futures as cf
+        idxs = self.sequences[index]
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            items = list(pool.map(self.dataset.__getitem__, idxs))
         frames, metas = [], []
-        for i in self.sequences[index]:
-            frame, meta = self.dataset[i]
+        for frame, meta in items:
             frames.append(frame if bool(frame.valid) else None)
             metas.append(meta)
         # repair None frames with the nearest later good frame (dataset.py:86-99)

@@ -90,7 +90,7 @@ class DexYCBDataset:
         self.budget = PRESUBSAMPLE_FACTOR * self.num_points
         self.load_pred_obj_pose = cfg.get("use_pred_obj_pose", False)
         self.pred_obj_pose_dir = cfg.get("pred_obj_pose_dir")
-        self.rng = np.random.RandomState(cfg.get("seed", 0))
+        self.seed = cfg.get("seed", 0)  # per-frame RNGs: thread-safe + order-deterministic
         from ..mano.model import get_mano_model
         self.mano = get_mano_model(cfg.get("mano_root"))
 
@@ -187,10 +187,11 @@ class DexYCBDataset:
         if len(hand_pcd) == 0 or len(obj_pcd) == 0:
             return empty_frame(self.budget), meta
 
+        rng = np.random.RandomState((self.seed * 1000003 + index) % (2**31))
         hand_pts, hand_valid = pad_points(hand_pcd.astype(np.float32),
-                                          self.budget, self.rng)
+                                          self.budget, rng)
         obj_pts, obj_valid = pad_points(obj_pcd.astype(np.float32),
-                                        self.budget, self.rng)
+                                        self.budget, rng)
 
         pred_r, pred_t = np.eye(3, dtype=np.float32), np.zeros((3, 1), np.float32)
         if self.load_pred_obj_pose and self.pred_obj_pose_dir:

@@ -85,7 +85,7 @@ class HO3DDataset:
         self.budget = PRESUBSAMPLE_FACTOR * self.num_points
         self.load_pred_obj_pose = cfg.get("use_pred_obj_pose", False)
         self.pred_obj_pose_dir = cfg.get("pred_obj_pose_dir")
-        self.rng = np.random.RandomState(cfg.get("seed", 0))
+        self.seed = cfg.get("seed", 0)  # per-frame RNGs: thread-safe + order-deterministic
 
         self.seq_lst, self.fid_lst, self.start_frame_lst = [], [], []
         self.seq_start = []
@@ -171,10 +171,11 @@ class HO3DDataset:
         if len(hand) == 0 or len(obj) == 0:
             return empty_frame(self.budget), meta
 
+        rng = np.random.RandomState((self.seed * 1000003 + index) % (2**31))
         hand_pts, hand_valid = pad_points(hand.astype(np.float32),
-                                          self.budget, self.rng)
+                                          self.budget, rng)
         obj_pts, obj_valid = pad_points(obj.astype(np.float32),
-                                        self.budget, self.rng)
+                                        self.budget, rng)
 
         # object scale from SDF normalization (HO3D_dataset.py:138-139)
         scale = np.float32(1.0)

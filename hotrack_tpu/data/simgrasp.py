@@ -53,7 +53,7 @@ class SimGraspDataset:
         self.budget = PRESUBSAMPLE_FACTOR * self.num_points
         self.load_pred_obj_pose = cfg.get("use_pred_obj_pose", False)
         self.pred_obj_pose_dir = cfg.get("pred_obj_pose_dir")
-        self.rng = np.random.RandomState(cfg.get("seed", 0))
+        self.seed = cfg.get("seed", 0)  # per-frame RNGs: thread-safe + order-deterministic
 
         self.file_list = []
         self.num_parts = {}
@@ -111,8 +111,9 @@ class SimGraspDataset:
         if len(hand) == 0 or len(obj) == 0:
             return empty_frame(self.budget), meta
 
-        hand_pts, hand_valid = pad_points(hand, self.budget, self.rng)
-        obj_pts, obj_valid = pad_points(obj, self.budget, self.rng)
+        rng = np.random.RandomState((self.seed * 1000003 + index) % (2**31))
+        hand_pts, hand_valid = pad_points(hand, self.budget, rng)
+        obj_pts, obj_valid = pad_points(obj, self.budget, rng)
 
         obj_pose = cloud_dict["obj_pose"]
         if num_parts == 1 and not isinstance(obj_pose, (list, tuple)):
