@@ -65,12 +65,18 @@ class SequenceData:
 
     def __getitem__(self, index):
         # threaded frame loading: npz/png decode releases the GIL in
-        # numpy/cv2, and per-frame host reads dominate eval wall-clock on
-        # single-core hosts
-        import concurrent.futures as cf
+        # numpy/cv2 and per-frame host reads dominate eval wall-clock —
+        # workers scale with available cores (a pool on a 1-core host only
+        # adds contention: measured 149 -> 108 fps, hence the serial path)
+        import os as _os
         idxs = self.sequences[index]
-        with cf.ThreadPoolExecutor(max_workers=8) as pool:
-            items = list(pool.map(self.dataset.__getitem__, idxs))
+        workers = min(8, _os.cpu_count() or 1)
+        if workers > 1:
+            import concurrent.futures as cf
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                items = list(pool.map(self.dataset.__getitem__, idxs))
+        else:
+            items = [self.dataset[i] for i in idxs]
         frames, metas = [], []
         for frame, meta in items:
             frames.append(frame if bool(frame.valid) else None)
