@@ -174,3 +174,24 @@ def test_hand_tracking_shape_modes(env):
             shape_mode=mode, shape_particles=particles)
         assert result.pred_kp.shape == (8, 21, 3)
         assert np.isfinite(np.asarray(result.pred_beta)).all(), mode
+
+
+@pytest.mark.slow
+def test_tracking_determinism(env):
+    """The jitted tracking loop is deterministic: identical inputs give
+    identical trajectories (SURVEY §4: determinism tests for the tracker)."""
+    _, mano = env
+    cfg = _small_cfg({"track": "hand", "batch_size": 1})
+    loader = get_dataloader(cfg, "test")
+    raw, _ = loader[0]
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(9), cfg["num_points"],
+                          hand_jitter_scale=0.01)
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+    trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
+
+    r1 = track_hand_sequence(trainer.model, trainer.variables, mano, batch)
+    r2 = track_hand_sequence(trainer.model, trainer.variables, mano, batch)
+    np.testing.assert_array_equal(np.asarray(r1.pred_kp),
+                                  np.asarray(r2.pred_kp))
