@@ -300,8 +300,13 @@ def _save_sequence(cfg, metas, result, batch, metrics, use_iknet):
             np.asarray(result.baseline_pred_kp[i]) for i in range(t)]
 
     ds = cfg["data_cfg"]["dataset_name"]
-    if ds in ("HO3D", "DexYCB"):
+    if ds in ("HO3D", "DexYCB", "HOI4D"):
         name = metas[0]["file_name"].replace("/", "_") + ".pkl"
+        if ds == "HOI4D":
+            # HOI4D additionally strips the "_preprocess" suffix from the
+            # flattened path (track_network.py:285-293; the reference ships
+            # these save branches but no HOI4D loader)
+            name = name.replace("_preprocess", "")
         save_dict["CAD_ID"] = metas[0]["category"]
     else:
         name = metas[0]["category"] + "_" + metas[0]["file_name"][:-4] + ".pkl"

@@ -277,7 +277,10 @@ def _save_sequence(cfg, metas, result, batch, metrics):
         "CAD_ID": metas[0]["category"],
     }
     ds = cfg["data_cfg"]["dataset_name"]
-    if ds in ("HO3D", "DexYCB"):
+    if ds in ("HO3D", "DexYCB", "HOI4D"):
+        # HOI4D shares the flat "<path-with-underscores>.pkl" convention
+        # (track_network.py:445-464; the reference ships the HOI4D save
+        # branches but no HOI4D loader)
         name = metas[0]["file_name"].replace("/", "_") + ".pkl"
     else:
         name = metas[0]["category"] + "_" + metas[0]["file_name"][:-4] + ".pkl"
