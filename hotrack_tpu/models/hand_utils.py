@@ -13,8 +13,10 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import os
+
 from ..mano.model import PALM_KP_IDS
-from ..pose.procrustes import solve_rot_and_trans
+from ..pose.procrustes import solve_rot_and_trans, solve_rot_and_trans_fast
 
 
 class CanonPose(NamedTuple):
@@ -41,8 +43,19 @@ def solve_hand_frame(palm_template: jnp.ndarray, kp: jnp.ndarray,
                      scale: float = 0.2) -> CanonPose:
     """Procrustes of the palm template against the current palm keypoints
     (ransac_rt with n=0, hand_utils.py:68-81; scale 0.2 per
-    hand_network.py:99). palm_template (6, 3) or (B, 6, 3); kp (B, 21, 3)."""
-    rotation, translation = solve_rot_and_trans(palm_template, handkp2palmkp(kp))
+    hand_network.py:99). palm_template (6, 3) or (B, 6, 3); kp (B, 21, 3).
+
+    Default solver is the Horn-quaternion fast path (same R to ~1e-6 rad,
+    ~28% of HandTrackNet scan latency saved vs the 3x3 SVD);
+    HOTRACK_EXACT_PROCRUSTES=1 restores the SVD solver. Train and eval must
+    use the SAME solver: like any reordering of the canonicalization math,
+    switching solvers for a net trained with the other one can flip FPS
+    sampling ties downstream (see the index-hoisting note in BENCHMARKS.md).
+    """
+    solver = (solve_rot_and_trans
+              if os.environ.get("HOTRACK_EXACT_PROCRUSTES")
+              else solve_rot_and_trans_fast)
+    rotation, translation = solver(palm_template, handkp2palmkp(kp))
     return CanonPose(rotation=rotation, translation=translation,
                      scale=jnp.full((1,), scale, kp.dtype))
 

@@ -60,6 +60,33 @@ class SharedMLP(nn.Module):
         return x
 
 
+def _group_indices(xyz, centers, radius_list, nsample_list, knn, valid_mask):
+    """Per-scale neighborhood indices with one shared top-k where exact.
+
+    Both `knn_point` (lax.top_k: ties to lower index) and `query_ball_point`
+    (first-K-in-index-order, pad-with-first) produce results where the
+    k-neighbor list is a strict prefix of the K>k list for the same query —
+    so scales sharing a query (all knn scales; ball scales with equal radius)
+    can slice one max-k computation instead of re-running the top-k.
+    HandTrackNet's q1/q2 layers (k=16 and k=64 at the same 21 centers) hit
+    this path every frame of the tracking scan.
+    """
+    if knn:
+        kmax = max(nsample_list)
+        _, idx = knn_point(kmax, centers, xyz)
+        return [idx[..., :k] for k in nsample_list]
+    out = [None] * len(radius_list)
+    by_radius = {}
+    for i, r in enumerate(radius_list):
+        by_radius.setdefault(float(r), []).append(i)
+    for r, scale_ids in by_radius.items():
+        kmax = max(nsample_list[i] for i in scale_ids)
+        idx = query_ball_point(r, kmax, xyz, centers, valid_mask)
+        for i in scale_ids:
+            out[i] = idx[..., :nsample_list[i]]
+    return out
+
+
 def _group(xyz, feats, centers, group_idx):
     """Gather neighborhoods and build grouped features.
 
@@ -102,15 +129,12 @@ class SetAbstractionMsg(nn.Module):
             fps_idx = farthest_point_sample(xyz, self.npoint, valid_mask)
             pre_groups = None
         new_xyz = index_points(xyz, fps_idx)
+        if pre_groups is None:
+            pre_groups = _group_indices(xyz, new_xyz, self.radius_list,
+                                        self.nsample_list, self.knn, valid_mask)
         outs = []
         for i, radius in enumerate(self.radius_list):
-            k = self.nsample_list[i]
-            if pre_groups is not None:
-                group_idx = pre_groups[i]
-            elif self.knn:
-                _, group_idx = knn_point(k, new_xyz, xyz)
-            else:
-                group_idx = query_ball_point(radius, k, xyz, new_xyz, valid_mask)
+            group_idx = pre_groups[i]
             grouped, _ = _group(xyz, feats, new_xyz, group_idx)
             h = SharedMLP(self.mlp_list[i], dtype=self.dtype)(grouped, train, bn_momentum)
             outs.append(jnp.max(h, axis=2))  # max over K neighbors
@@ -182,16 +206,14 @@ class SetAbstractionAtCenters(nn.Module):
         """xyz (B, N, 3), feats (B, N, D), centers (B, S, 3),
         center_feats (B, S, Dc) or None -> new_feats (B, S, sum(mlp[-1]))
         [, group_idx_list | avg-4nn-dist (B, S)]."""
+        if pre_group_idx is None:
+            pre_group_idx = _group_indices(xyz, centers, self.radius_list,
+                                           self.nsample_list, self.knn,
+                                           valid_mask)
         outs, group_idx_list = [], []
         grouped_xyz = None
         for i, radius in enumerate(self.radius_list):
-            k = self.nsample_list[i]
-            if pre_group_idx is not None:
-                group_idx = pre_group_idx[i]
-            elif self.knn:
-                _, group_idx = knn_point(k, centers, xyz)
-            else:
-                group_idx = query_ball_point(radius, k, xyz, centers, valid_mask)
+            group_idx = pre_group_idx[i]
             group_idx_list.append(group_idx)
             grouped, grouped_xyz = _group(xyz, feats, centers, group_idx)
             if center_feats is not None:

@@ -133,3 +133,26 @@ def test_ops_jit_under_vmap():
     f = jax.vmap(lambda x: ops.farthest_point_sample(x, 8))
     idx = f(xyz)
     assert idx.shape == (4, 2, 8)
+
+
+def test_shared_group_indices_exact():
+    """_group_indices' shared-top-k slicing must equal per-scale queries:
+    knn and ball results are prefix-stable in k for a fixed query."""
+    import numpy as np
+    from hotrack_tpu.nn.pointnet2 import _group_indices
+    from hotrack_tpu.ops.pointops import knn_point, query_ball_point
+    rng = np.random.default_rng(3)
+    xyz = jnp.asarray(rng.standard_normal((2, 128, 3)) * 0.1)
+    centers = jnp.asarray(rng.standard_normal((2, 21, 3)) * 0.1)
+
+    ks = (4, 16, 64)
+    shared = _group_indices(xyz, centers, (0.2,) * 3, ks, True, None)
+    for k, gi in zip(ks, shared):
+        _, direct = knn_point(k, centers, xyz)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(direct))
+
+    radii, ks = (0.1, 0.1, 0.25), (4, 16, 8)
+    shared = _group_indices(xyz, centers, radii, ks, False, None)
+    for r, k, gi in zip(radii, ks, shared):
+        direct = query_ball_point(r, k, xyz, centers, None)
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(direct))

@@ -100,3 +100,42 @@ def test_sym_yaw_refinement():
     r_hat, s_hat, t_hat = P.transform_pts(jnp.asarray(src), jnp.asarray(tgt), sym=True)
     err = np.asarray(R.rot_diff_degree(jnp.asarray(rot), r_hat))
     assert err.max() < 0.5
+
+
+def test_fast_procrustes_matches_svd():
+    """Horn-quaternion fast path vs the SVD solver: same R/t on clean,
+    noisy, and near-planar (palm-like) point sets."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        b, n = 16, 6
+        x = rng.standard_normal((n, 3)) * 0.05
+        if trial % 2:  # palm keypoints are roughly coplanar
+            x[:, 2] *= 0.02
+        rot = rand_rot(rng, b)
+        t = rng.standard_normal((b, 3, 1)) * 0.3
+        y = np.einsum("bij,nj->bni", rot, x) + t[..., 0][:, None, :]
+        y += rng.standard_normal(y.shape) * 0.002  # sensor-scale noise
+        r_svd, t_svd = P.solve_rot_and_trans(jnp.asarray(x), jnp.asarray(y))
+        r_fast, t_fast = P.solve_rot_and_trans_fast(jnp.asarray(x), jnp.asarray(y))
+        # the arccos-of-trace angle saturates at f32 quantization (~0.03 deg)
+        # for solutions this close; compare matrix entries directly instead
+        np.testing.assert_allclose(np.asarray(r_fast), np.asarray(r_svd),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_fast), np.asarray(t_svd),
+                                   atol=1e-5)
+        det = np.linalg.det(np.asarray(r_fast))
+        np.testing.assert_allclose(det, 1.0, atol=1e-4)
+
+
+def test_fast_procrustes_reflection_case():
+    """Planar sets where unconstrained Kabsch would pick a reflection: the
+    quaternion method optimizes over proper rotations only."""
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((10, 3))
+    x[:, 2] = 0.0
+    rot = rand_rot(rng, 4)
+    y = np.einsum("bij,nj->bni", rot, x)
+    r_svd, _ = P.solve_rot_and_trans(jnp.asarray(x), jnp.asarray(y))
+    r_fast, _ = P.solve_rot_and_trans_fast(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(np.linalg.det(np.asarray(r_fast)), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_fast), np.asarray(r_svd), atol=1e-3)
