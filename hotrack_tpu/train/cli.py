@@ -35,7 +35,11 @@ def build_arg_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--save", action="store_true", default=None,
                    help="dump per-sequence trajectory pickles")
-    p.add_argument("--debug", action="store_true", default=None)
+    p.add_argument("--debug", action="store_true", default=None,
+                   help="render per-frame hand figures (parse_args.py:11)")
+    p.add_argument("--debug_save", action="store_true", default=None,
+                   help="save per-frame hand figures under "
+                        "<experiment_dir>/debug (parse_args.py:12)")
     p.add_argument("--epochs", type=int, default=None,
                    help="override total_epoch")
     p.add_argument("--profile", type=str, default=None,

@@ -153,6 +153,8 @@ def run_hand_tracking(cfg, save_flag: bool = False):
 
         if save_flag:
             _save_sequence(cfg, metas, result, batch, metrics, use_iknet)
+        if cfg.get("debug") or cfg.get("debug_save"):
+            _debug_visualize(cfg, metas, result, batch)
 
     avg = {k: v / max(n_seq, 1) for k, v in total.items()}
     fps_all = n_frames / max(net_time + data_time, 1e-9)
@@ -274,6 +276,29 @@ def _hand_volume(cfg, meta0):
     return bake_sdf_volume(decoder.apply, variables, latent, ins,
                            HAND_VOLUME_SIZE,
                            float(assets.normalization["scale"][0]))
+
+
+def _debug_visualize(cfg, metas, result, batch):
+    """Per-frame cloud + init/pred/gt skeleton figures for --debug /
+    --debug_save (model.visualize, track_network.py:311-320 +
+    hand_network.py:223-243). The per-frame tracker init is reconstructed
+    from the recentering rule (track_network.py:161-163): frame 0 uses the
+    jittered keypoints; frame i uses pred_{i-1} shifted by the cloud-mean
+    delta."""
+    from ..utils.vis import hand_vis
+    points = np.asarray(batch["hand_points"])
+    pred = np.asarray(result.pred_kp)
+    gt = np.asarray(batch["gt_hand_kp"])
+    means = points.mean(axis=1)  # (T, 3)
+    init = np.concatenate(
+        [np.asarray(batch["jittered_hand_kp"][:1]),
+         pred[:-1] - means[:-1, None, :] + means[1:, None, :]], axis=0)
+    folder = pjoin(cfg["experiment_dir"], "debug")
+    save = bool(cfg.get("debug_save"))
+    for i in range(pred.shape[0]):
+        hand_vis(points[i], init[i], pred[i], gt[i],
+                 show_fig=bool(cfg.get("debug")) and not save, save_fig=save,
+                 save_folder=folder, save_name=str(metas[i]["file_name"]))
 
 
 def _save_sequence(cfg, metas, result, batch, metrics, use_iknet):
