@@ -220,3 +220,73 @@ def test_iknet_structure_roundtrip():
     assert set(want_p) == set(got_p)
     for k in want_p:
         np.testing.assert_allclose(got_p[k], want_p[k], atol=1e-6, err_msg=str(k))
+
+
+def test_convert_cli_roundtrip(tmp_path, monkeypatch):
+    """python -m hotrack_tpu.convert: a composed handnet.+IKnet. reference
+    checkpoint converts into two orbax checkpoints that Trainer.resume loads
+    with the exact converted weights."""
+    from hotrack_tpu import convert as convert_cli
+    from hotrack_tpu.train.trainer import Trainer
+
+    monkeypatch.setenv("HOTRACK_DATA_ROOT", str(tmp_path))
+
+    # build a reference-style composed state dict from freshly-initialized
+    # flax models (inverse mapping), stamp epoch 7
+    model = HandTrackNet(net_cfg=NET_CFG, backbone_out_dim=D, handframe="kp")
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.randn(1, 64, 3), jnp.float32) * 0.05
+    kp = jnp.asarray(rng.randn(1, 21, 3), jnp.float32) * 0.04
+    hv = model.init(jax.random.PRNGKey(0), pts, kp, handkp2palmkp(kp)[0])
+    hand_sd = _torch_sd_from_flax(jax.tree.map(np.asarray, hv["params"]),
+                                  jax.tree.map(np.asarray, hv["batch_stats"]))
+
+    ik = IKNet()
+    iv = ik.init(jax.random.PRNGKey(1), kp, handkp2palmkp(kp))
+    ik_p = jax.tree.map(np.asarray, iv["params"])
+    ik_s = jax.tree.map(np.asarray, iv["batch_stats"])
+    perm = _iknet_input_perm()
+    inv_perm = np.argsort(perm)
+    ik_sd = {}
+    for i in range(7):
+        w = ik_p[f"linear_{i}"]["kernel"]
+        if i == 0:
+            w = w[inv_perm]
+        ik_sd[f"linear.{i}.weight"] = torch.tensor(np.ascontiguousarray(w.T))
+        ik_sd[f"linear.{i}.bias"] = torch.tensor(ik_p[f"linear_{i}"]["bias"])
+        if i < 6:
+            ik_sd[f"bn.{i}.weight"] = torch.tensor(ik_p[f"bn_{i}"]["scale"])
+            ik_sd[f"bn.{i}.bias"] = torch.tensor(ik_p[f"bn_{i}"]["bias"])
+            ik_sd[f"bn.{i}.running_mean"] = torch.tensor(ik_s[f"bn_{i}"]["mean"])
+            ik_sd[f"bn.{i}.running_var"] = torch.tensor(ik_s[f"bn_{i}"]["var"])
+
+    sd = {f"handnet.{k}": (torch.tensor(v) if not torch.is_tensor(v) else v)
+          for k, v in hand_sd.items()}
+    sd.update({f"IKnet.{k}": v for k, v in ik_sd.items()})
+    pt_path = tmp_path / "model_0007.pt"
+    torch.save({"epoch": 7, "model": sd}, pt_path)
+
+    written = convert_cli.main([
+        "--ckpt", str(pt_path), "--config", "handtracknet_test_SimGrasp.yml",
+        "--experiment_dir", "conv_htn", "--IKNet_dir", "conv_ik",
+        "--num_points", "64", "--network/backbone_out_dim", str(D),
+        "--pointnet_cfg/camera", "pointnet2_tiny.yml"])
+    assert len(written) == 2
+
+    # resume both and compare against the source flax trees
+    from hotrack_tpu.config import get_config
+    cfg = get_config({"config": "handtracknet_test_SimGrasp.yml",
+                      "experiment_dir": "conv_htn", "num_points": 64,
+                      "network/backbone_out_dim": D,
+                      "pointnet_cfg/camera": "pointnet2_tiny.yml"}, save=False)
+    tr = Trainer(cfg)
+    batch = {"hand_points": pts, "jittered_hand_kp": kp, "gt_hand_kp": kp,
+             "gt_hand_pose": {"palm_template": handkp2palmkp(kp)}}
+    tr.init_state(batch)
+    assert tr.resume()
+    assert int(tr.state.epoch) == 7
+    want, got = _flatten(jax.tree.map(np.asarray, hv["params"])), _flatten(
+        jax.tree.map(np.asarray, tr.state.params))
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-6, err_msg=str(k))
