@@ -118,8 +118,18 @@ def optimize_hand_pose(
 ):
     """Returns (final_kp (1,21,3), theta (1,45), rotation (1,3,3),
     translation (1,3,1), final_energy)."""
+    import os
+
     spec = POSE_SPEC._replace(iterations=iterations)
     h, w = background_mask.shape
+    use_packed_mask = (jax.default_backend() == "tpu"
+                       and not os.environ.get("HOTRACK_NO_PALLAS_MASK"))
+    if use_packed_mask:
+        # gather-free silhouette lookups (ops/pallas/mask_lookup.py): the
+        # (5120 x 778)-point mask gather was 68 ms/iter on v5e — pack rows
+        # once per frame, then look bits up with one-hot MXU matmuls
+        from ..ops.pallas.mask_lookup import pack_mask, packed_mask_lookup
+        packed = pack_mask(background_mask)
     shaped = shape_hand(mano_model, hand_shape)  # register_beta fast path
     vis = vis_mask.astype(jnp.float32)
     invis_finger = 1.0 - vis[0, list(TIP_KP_IDS)]  # (5,)
@@ -140,20 +150,33 @@ def optimize_hand_pose(
         hand, kp = forward_candidates(params, sample_ext)  # (P,778,3) (P,21,3)
 
         # object-frame SDF at hand verts (optimization_hand.py:252-262)
-        obj_frame = jnp.matmul(hand - obj_translation[None, None], obj_rotation)
         if distilled is not None:
-            from ..sdf.distill import eval_distilled_sdf
-            sdf = eval_distilled_sdf(distilled, obj_frame)  # (P, 778)
+            from ..sdf.distill import eval_distilled_sdf_cf
+            # channels-first (P, 3, 778): the transpose folds into the dot's
+            # dimension numbers, and no (..., 3)-minor array reaches the
+            # Pallas kernel boundary (see eval_distilled_sdf_cf)
+            obj_frame_cf = jnp.einsum("pnj,ji->pin",
+                                      hand - obj_translation[None, None],
+                                      obj_rotation)
+            sdf = eval_distilled_sdf_cf(distilled, obj_frame_cf)  # (P, 778)
         else:
+            obj_frame = jnp.matmul(hand - obj_translation[None, None],
+                                   obj_rotation)
             sdf = nearest_sdf(sdf_volume, obj_frame, voxel_scale,
                               sdf_volume.shape[0])  # (P, 778)
 
-        # silhouette (:234-240)
-        pts2d = world2point2d(hand, intrinsics["fx"], intrinsics["fy"],
-                              intrinsics["cx"], intrinsics["cy"])
-        iy = jnp.clip(pts2d[..., 0].astype(jnp.int32), 0, h - 1)
-        ix = jnp.clip(pts2d[..., 1].astype(jnp.int32), 0, w - 1)
-        sil = jnp.sum(background_mask[iy, ix], axis=-1) / hand.shape[1]
+        # silhouette (:234-240); pixel coords computed per-axis so no
+        # (..., 2)-minor array is materialized (TPU lane-pads size-2 minors)
+        pz = hand[..., 2]
+        iy = jnp.clip((hand[..., 1] / pz * intrinsics["fy"]
+                       + intrinsics["cy"]).astype(jnp.int32), 0, h - 1)
+        ix = jnp.clip((hand[..., 0] / pz * intrinsics["fx"]
+                       + intrinsics["cx"]).astype(jnp.int32), 0, w - 1)
+        if use_packed_mask:
+            hits = packed_mask_lookup(packed, iy, ix)      # (P, 778)
+            sil = jnp.sum(hits, axis=-1) / hand.shape[1]
+        else:
+            sil = jnp.sum(background_mask[iy, ix], axis=-1) / hand.shape[1]
 
         # penetration (:264-268)
         pen = jnp.max(jnp.abs(sdf) * (sdf < 0.0), axis=-1)

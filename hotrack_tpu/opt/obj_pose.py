@@ -65,23 +65,28 @@ def optimize_obj_pose(
     point; the distilled path is compute-bound on the MXU."""
     spec = OBJ_SPEC._replace(iterations=iterations)
 
-    def query_sdf(points):
-        if distilled is not None:
-            from ..sdf.distill import eval_distilled_sdf
-            return eval_distilled_sdf(distilled, points)
-        # bbox_min derived from the grid (== the reference's -0.2 at the
-        # 201^3 @ 2 mm operating point, optimization_obj.py:186-188)
-        return trilinear_sdf(sdf_volume, points, voxel_scale, bbox_res,
-                             bbox_min=-(bbox_res // 2) * voxel_scale)
+    pcld_t = jnp.swapaxes(pcld, 0, 1)  # (3, N), hoisted out of the opt loop
 
     def energy_fn(params, sample_ext):
         r, t = params
         # candidate poses (optimization_obj.py:263-265)
         new_r = jnp.matmul(r, unit_quaternion_to_matrix(sample_ext[:, :4]))
         new_t = t[None] + sample_ext[:, 4:, None]  # (P, 3, 1)
-        # cloud into object frame, SDF energy (optimization_obj.py:230-237)
-        flat = jnp.matmul(pcld[None] - jnp.swapaxes(new_t, -1, -2), new_r)
-        sdf = query_sdf(flat)
+        # cloud into object frame, SDF energy (optimization_obj.py:230-237).
+        # Channels-first throughout: (P, 3, N) = R^T (x^T - t) — same math as
+        # the reference's (x - t^T) R with the 3-axis kept off the TPU-lane-
+        # padded minor position (see sdf/distill.eval_distilled_sdf_cf).
+        if distilled is not None:
+            from ..sdf.distill import eval_distilled_sdf_cf
+            flat_cf = jnp.matmul(jnp.swapaxes(new_r, -1, -2),
+                                 pcld_t[None] - new_t)   # (P, 3, N)
+            sdf = eval_distilled_sdf_cf(distilled, flat_cf)
+        else:
+            # bbox_min derived from the grid (== the reference's -0.2 at the
+            # 201^3 @ 2mm operating point, optimization_obj.py:186-188)
+            flat = jnp.matmul(pcld[None] - jnp.swapaxes(new_t, -1, -2), new_r)
+            sdf = trilinear_sdf(sdf_volume, flat, voxel_scale, bbox_res,
+                                bbox_min=-(bbox_res // 2) * voxel_scale)
         sdf_energy = jnp.mean(jnp.abs(sdf), axis=-1)  # (P,)
         return sdf_energy * 500.0, sdf_energy
 

@@ -49,20 +49,71 @@ def _features(points: jnp.ndarray, freqs: jnp.ndarray, scale) -> jnp.ndarray:
     return feats
 
 
-def _raw_sdf(model: DistilledSDF, points: jnp.ndarray) -> jnp.ndarray:
+def _raw_sdf(model: DistilledSDF, points: jnp.ndarray,
+             compute_dtype=None) -> jnp.ndarray:
     """Unclamped MLP output — used for training (clipping at train time
-    zeroes gradients wherever the init lands outside the clamp band)."""
+    zeroes gradients wherever the init lands outside the clamp band).
+
+    `compute_dtype=jnp.bfloat16` runs the matmuls on bf16 inputs with f32
+    accumulation (the TPU MXU's native mode, ~2x the f32 rate); Fourier
+    features and the final sdf stay f32. Adds ~0.3-0.5 mm to the distillation
+    error — see BENCHMARKS.md for the measured accuracy/speed trade."""
     h = _features(points, model.freqs, model.scale)
+    if compute_dtype is not None:
+        h = h.astype(compute_dtype)
     for i, (w, b) in enumerate(zip(model.weights, model.biases)):
-        h = h @ w + b
+        if compute_dtype is not None:
+            h = jnp.matmul(h, w.astype(compute_dtype),
+                           preferred_element_type=jnp.float32) + b
+        else:
+            h = h @ w + b
         if i < len(model.weights) - 1:
             h = jax.nn.relu(h)
-    return h[..., 0]
+            if compute_dtype is not None:
+                h = h.astype(compute_dtype)
+    return h[..., 0].astype(jnp.float32)
 
 
-def eval_distilled_sdf(model: DistilledSDF, points: jnp.ndarray) -> jnp.ndarray:
-    """points (..., 3) -> clamped sdf (...,). Pure matmuls (MXU)."""
-    return jnp.clip(_raw_sdf(model, points), -model.clamp, model.clamp)
+def eval_distilled_sdf(model: DistilledSDF, points: jnp.ndarray,
+                       compute_dtype=None) -> jnp.ndarray:
+    """points (..., 3) -> clamped sdf (...,).
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas/sdf_mlp.py): the XLA op-by-op MLP spills (M, 128) activations
+    to HBM between layers and is bandwidth-bound at optimizer query loads;
+    the fused kernel keeps the whole network per tile in VMEM.
+    HOTRACK_NO_PALLAS_SDF=1 forces the XLA path (also the path to use under
+    jax.grad — the particle optimizers never differentiate SDF queries)."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("HOTRACK_NO_PALLAS_SDF")):
+        from ..ops.pallas.sdf_mlp import fused_sdf_mlp
+        return fused_sdf_mlp(model.weights, model.biases, model.freqs,
+                             model.scale, model.clamp, points,
+                             compute_dtype=compute_dtype)
+    return jnp.clip(_raw_sdf(model, points, compute_dtype),
+                    -model.clamp, model.clamp)
+
+
+def eval_distilled_sdf_cf(model: DistilledSDF, points_cf: jnp.ndarray,
+                          compute_dtype=None) -> jnp.ndarray:
+    """Channels-first variant: points_cf (..., 3, N) -> sdf (..., N).
+
+    The layout hot loops should use: TPU physical layouts lane-pad a size-3
+    minor dimension x42, so producing clouds as (..., 3, N) and keeping the 3
+    axis off the minor position end-to-end avoids both the padding and the
+    minor-dim transpose at the Pallas kernel boundary (measured ~8 ms per 2M
+    points per transpose on v5e)."""
+    import os
+    if (jax.default_backend() == "tpu"
+            and not os.environ.get("HOTRACK_NO_PALLAS_SDF")):
+        from ..ops.pallas.sdf_mlp import fused_sdf_mlp_cf
+        return fused_sdf_mlp_cf(model.weights, model.biases, model.freqs,
+                                model.scale, model.clamp, points_cf,
+                                compute_dtype=compute_dtype)
+    pts = jnp.swapaxes(points_cf, -1, -2)    # (..., N, 3)
+    return jnp.clip(_raw_sdf(model, pts, compute_dtype),
+                    -model.clamp, model.clamp)
 
 
 @partial(jax.jit, static_argnames=("steps", "batch"))

@@ -71,3 +71,33 @@ def test_distilled_pose_recovery(distilled_box):
     terr1 = float(jnp.linalg.norm(t - gt_t))
     assert err1 < err0, (err0, err1)
     assert terr1 < terr0, (terr0, terr1)
+
+
+def test_fused_sdf_mlp_matches_xla():
+    """Pallas fused MLP (interpret mode on CPU) == the XLA distilled-SDF
+    evaluation, including clamping, odd point counts, and batch dims."""
+    import numpy as np
+    from hotrack_tpu.ops.pallas.sdf_mlp import fused_sdf_mlp
+    from hotrack_tpu.sdf.distill import DistilledSDF, _raw_sdf
+
+    rng = np.random.default_rng(0)
+    n_freqs = 6
+    in_dim = 3 + 6 * n_freqs
+    dims = [in_dim, 128, 128, 128, 128, 1]
+    weights = tuple(jnp.asarray(rng.standard_normal((dims[i], dims[i + 1]))
+                                .astype("float32") * 0.2)
+                    for i in range(len(dims) - 1))
+    biases = tuple(jnp.asarray(rng.standard_normal((dims[i + 1],))
+                               .astype("float32") * 0.05)
+                   for i in range(len(dims) - 1))
+    freqs = jnp.asarray((np.pi * 2.0 ** np.arange(n_freqs)).astype("float32"))
+    model = DistilledSDF(weights, biases, freqs, jnp.float32(5.0),
+                         jnp.float32(0.05))
+
+    for shape in ((37, 3), (4, 300, 3)):
+        pts = jnp.asarray(rng.standard_normal(shape).astype("float32") * 0.1)
+        want = jnp.clip(_raw_sdf(model, pts), -model.clamp, model.clamp)
+        got = fused_sdf_mlp(model.weights, model.biases, model.freqs,
+                            model.scale, model.clamp, pts, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
