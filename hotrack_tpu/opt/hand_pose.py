@@ -131,6 +131,12 @@ def optimize_hand_pose(
         from ..ops.pallas.mask_lookup import pack_mask, packed_mask_lookup
         packed = pack_mask(background_mask)
     shaped = shape_hand(mano_model, hand_shape)  # register_beta fast path
+    # fingertip-zone SDF selection as a one-hot matmul (exact — one-hot rows
+    # select single elements). Standalone the (P, 5, K)-from-(P, 778) gather
+    # measures ~2x the matmul; inside the full program it's neutral, but the
+    # matmul form keeps the energy free of TPU scalar-gather paths.
+    zone_onehot = jax.nn.one_hot(zones.tips_idx.reshape(-1), 778,
+                                 dtype=jnp.float32)          # (5K, 778)
     vis = vis_mask.astype(jnp.float32)
     invis_finger = 1.0 - vis[0, list(TIP_KP_IDS)]  # (5,)
 
@@ -191,7 +197,8 @@ def optimize_hand_pose(
         smooth = jnp.mean(jnp.linalg.norm(kp - last_frame_kp, axis=-1), -1) * has_last
 
         # fingertip attraction, gated on particle-0 penetration (:242-250,284-287)
-        region = sdf[:, zones.tips_idx]  # (P, 5, K)
+        region = jnp.matmul(sdf, zone_onehot.T).reshape(
+            sdf.shape[0], *zones.tips_idx.shape)  # (P, 5, K)
         region = region * (region > 0.0)
         region = jnp.where(zones.tips_mask[None], region, jnp.inf)
         per_finger = jnp.min(region, axis=-1)  # (P, 5)
