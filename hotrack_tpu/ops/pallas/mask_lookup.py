@@ -23,7 +23,7 @@ path (HOTRACK_NO_PALLAS_MASK=1 forces it).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -66,12 +66,43 @@ def _lookup_kernel(mask_ref, iy_ref, ix_ref, out_ref):
     out_ref[:] = hi - 2.0 * hi2
 
 
-@partial(jax.jit, static_argnames=("interpret",))
 def packed_mask_lookup(packed: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
     """packed (H, WP) f32 from pack_mask; iy/ix int32 of any (matching)
     shape, already clipped to [0, H) / [0, W) -> mask values (same shape,
-    f32 in {0., 1.})."""
+    f32 in {0., 1.}).
+
+    vmap-safe: batched queries fold into the kernel's flat point axis; a
+    batched mask (per-sequence masks under a vmapped tracker) falls back to
+    a sequential lax.map over the batch."""
+    return _lookup_vmapped(interpret)(packed, iy, ix)
+
+
+@lru_cache(maxsize=None)
+def _lookup_vmapped(interpret):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(packed, iy, ix):
+        return _lookup_impl(packed, iy, ix, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, packed, iy, ix):
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+        if not in_batched[0]:
+            return fn(packed, bcast(iy, in_batched[1]),
+                      bcast(ix, in_batched[2])), True
+        args = (packed, bcast(iy, in_batched[1]), bcast(ix, in_batched[2]))
+        return jax.lax.map(lambda a: fn(*a), args), True
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _lookup_impl(packed: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
+                 interpret: bool = False) -> jnp.ndarray:
     shape = iy.shape
     iy_f = iy.reshape(-1).astype(jnp.int32)
     ix_f = ix.reshape(-1).astype(jnp.int32)

@@ -24,7 +24,7 @@ the XLA distilled path (HOTRACK_NO_PALLAS_SDF=1 forces it everywhere).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -83,7 +83,6 @@ def fused_sdf_mlp(weights, biases, freqs, scale, clamp, points,
     return out.reshape(shape)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
 def fused_sdf_mlp_cf(weights, biases, freqs, scale, clamp, points_cf,
                      compute_dtype=None, interpret: bool = False):
     """Channels-first entry: points_cf (..., 3, N) -> sdf (..., N).
@@ -92,7 +91,19 @@ def fused_sdf_mlp_cf(weights, biases, freqs, scale, clamp, points_cf,
     no array ever has a size-3 minor dimension (which TPU layouts lane-pad
     x42). weights/biases: tuples as in sdf.distill.DistilledSDF.
     compute_dtype jnp.bfloat16 runs the matmuls on bf16 inputs with f32
-    accumulation."""
+    accumulation.
+
+    vmap-safe: batched points fold into the kernel's flat point axis (the
+    native pallas batching rule can't block the 1-D output); a batched
+    *model* (per-sequence distilled SDFs in multi-sequence tracking) falls
+    back to a sequential lax.map over the batch."""
+    return _cf_vmapped(compute_dtype, interpret)(
+        tuple(weights), tuple(biases), freqs, scale, clamp, points_cf)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _cf_impl(weights, biases, freqs, scale, clamp, points_cf,
+             compute_dtype=None, interpret: bool = False):
     *batch, three, n = points_cf.shape
     assert three == 3, points_cf.shape
     shape = tuple(batch) + (n,)
@@ -133,3 +144,36 @@ def fused_sdf_mlp_cf(weights, biases, freqs, scale, clamp, points_cf,
         interpret=interpret,
     )(scale2, clamp2, flat_t, freqs2, *wb)
     return out[:m].reshape(shape)
+
+
+@lru_cache(maxsize=None)
+def _cf_vmapped(compute_dtype, interpret):
+    """custom_vmap wrapper around _cf_impl for (compute_dtype, interpret)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(weights, biases, freqs, scale, clamp, points_cf):
+        return _cf_impl(weights, biases, freqs, scale, clamp, points_cf,
+                        compute_dtype=compute_dtype, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, weights, biases, freqs, scale, clamp,
+              points_cf):
+        model_batched = any(jax.tree.leaves(
+            (in_batched[0], in_batched[1], in_batched[2], in_batched[3],
+             in_batched[4])))
+        pts_batched = in_batched[5]
+        if not model_batched:
+            pts = (points_cf if pts_batched else jnp.broadcast_to(
+                points_cf[None], (axis_size,) + points_cf.shape))
+            return fn(weights, biases, freqs, scale, clamp, pts), True
+
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+        args = jax.tree.map(bcast,
+                            (weights, biases, freqs, scale, clamp, points_cf),
+                            tuple(in_batched))
+        out = jax.lax.map(lambda a: fn(*a), args)
+        return out, True
+
+    return fn

@@ -101,3 +101,44 @@ def test_fused_sdf_mlp_matches_xla():
                             model.scale, model.clamp, pts, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_fused_sdf_mlp_vmap_rules():
+    """vmap over the fused kernel: batched points fold into the flat point
+    axis; batched per-sequence models take the sequential-map path. Both must
+    equal per-item direct calls."""
+    import numpy as np
+    import jax
+    from hotrack_tpu.ops.pallas.sdf_mlp import fused_sdf_mlp_cf
+    from hotrack_tpu.sdf.distill import DistilledSDF
+
+    rng = np.random.default_rng(1)
+    def make_model(seed):
+        r = np.random.default_rng(seed)
+        dims = [3 + 6 * 4, 128, 128, 1]
+        w = tuple(jnp.asarray(r.standard_normal((dims[i], dims[i + 1]))
+                              .astype("float32") * 0.3) for i in range(3))
+        b = tuple(jnp.asarray(r.standard_normal((dims[i + 1],))
+                              .astype("float32") * 0.1) for i in range(3))
+        freqs = jnp.asarray((np.pi * 2.0 ** np.arange(4)).astype("float32"))
+        return DistilledSDF(w, b, freqs, jnp.float32(4.0), jnp.float32(0.05))
+
+    m0 = make_model(0)
+    pts = jnp.asarray(rng.standard_normal((3, 3, 256)).astype("float32") * 0.1)
+
+    call = lambda model, p: fused_sdf_mlp_cf(  # noqa: E731
+        model.weights, model.biases, model.freqs, model.scale, model.clamp,
+        p, interpret=True)
+
+    # shared model, batched points
+    got = jax.vmap(lambda p: call(m0, p))(pts)
+    want = jnp.stack([call(m0, pts[i]) for i in range(3)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # batched model + batched points (sequential-map path)
+    models = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[make_model(s) for s in range(3)])
+    got = jax.vmap(lambda md, p: call(md, p))(models, pts)
+    want = jnp.stack([call(jax.tree.map(lambda a: a[i], models), pts[i])
+                      for i in range(3)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)

@@ -32,3 +32,28 @@ def test_packed_mask_structured_patterns():
                                  interpret=True)
         np.testing.assert_array_equal(np.asarray(got),
                                       mk.astype(np.float32))
+
+
+def test_packed_mask_lookup_vmap_rules():
+    """vmap: batched queries fold into the flat axis; batched masks map
+    sequentially. Exact vs per-item calls."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    masks = rng.random((3, 64, 80)) > 0.5
+    packed = jnp.stack([pack_mask(jnp.asarray(m)) for m in masks])
+    iy = jnp.asarray(rng.integers(0, 64, (3, 200)).astype(np.int32))
+    ix = jnp.asarray(rng.integers(0, 80, (3, 200)).astype(np.int32))
+
+    call = lambda p, a, b: packed_mask_lookup(p, a, b, interpret=True)  # noqa: E731
+
+    # shared mask, batched queries
+    got = jax.vmap(lambda a, b: call(packed[0], a, b))(iy, ix)
+    want = masks[0][np.asarray(iy), np.asarray(ix)].astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # batched masks (sequential-map path)
+    got = jax.vmap(call)(packed, iy, ix)
+    want = np.stack([masks[i][np.asarray(iy[i]), np.asarray(ix[i])]
+                     for i in range(3)]).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(got), want)
