@@ -94,10 +94,67 @@ def _lookup_vmapped(interpret):
         if not in_batched[0]:
             return fn(packed, bcast(iy, in_batched[1]),
                       bcast(ix, in_batched[2])), True
-        args = (packed, bcast(iy, in_batched[1]), bcast(ix, in_batched[2]))
-        return jax.lax.map(lambda a: fn(*a), args), True
+        out = _lookup_impl_batched(packed, bcast(iy, in_batched[1]),
+                                   bcast(ix, in_batched[2]),
+                                   interpret=interpret)
+        return out, True
 
     return fn
+
+
+def _lookup_kernel_b(mask_ref, iy_ref, ix_ref, out_ref):
+    """Batched-mask grid step: blocks mask (1, H, WP), iy/ix/out (1, 1, T)."""
+    t = iy_ref.shape[-1]
+    h, wp = mask_ref.shape[1:]
+    iy = iy_ref[0, 0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, h), 1)
+    onehot_y = (rows == iy[:, None]).astype(jnp.bfloat16)
+    row_words = jnp.dot(onehot_y, mask_ref[0].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    ix = ix_ref[0, 0]
+    w_idx = ix // BITS
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, wp), 1)
+    onehot_w = (cols == w_idx[:, None]).astype(jnp.float32)
+    word = jnp.sum(row_words * onehot_w, axis=1)
+    b = (ix % BITS).astype(jnp.float32)
+    hi = jnp.floor(word * jnp.exp2(-b))
+    hi2 = jnp.floor(word * jnp.exp2(-(b + 1.0)))
+    out_ref[0, 0] = hi - 2.0 * hi2
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _lookup_impl_batched(packed: jnp.ndarray, iy: jnp.ndarray,
+                         ix: jnp.ndarray, interpret: bool = False):
+    """Per-sequence masks: packed (S, H, WP), iy/ix (S, ...). One kernel
+    launch with grid (S, G) — sequence s's grid steps read mask block s."""
+    s_axis = packed.shape[0]
+    shape = iy.shape
+    iy_f = iy.reshape(s_axis, 1, -1).astype(jnp.int32)
+    ix_f = ix.reshape(s_axis, 1, -1).astype(jnp.int32)
+    m = iy_f.shape[-1]
+    tile = TILE if m >= TILE else _round_up(max(m, 128), 128)
+    m_pad = _round_up(m, tile)
+    if m_pad != m:
+        iy_f = jnp.pad(iy_f, ((0, 0), (0, 0), (0, m_pad - m)))
+        ix_f = jnp.pad(ix_f, ((0, 0), (0, 0), (0, m_pad - m)))
+
+    out = pl.pallas_call(
+        _lookup_kernel_b,
+        grid=(s_axis, m_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1,) + packed.shape[1:], lambda s, g: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda s, g: (s, 0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda s, g: (s, 0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile), lambda s, g: (s, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_axis, 1, m_pad), jnp.float32),
+        interpret=interpret,
+    )(packed.astype(jnp.float32), iy_f, ix_f)
+    return out[:, 0, :m].reshape(shape)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

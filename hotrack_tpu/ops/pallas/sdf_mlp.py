@@ -173,7 +173,90 @@ def _cf_vmapped(compute_dtype, interpret):
         args = jax.tree.map(bcast,
                             (weights, biases, freqs, scale, clamp, points_cf),
                             tuple(in_batched))
-        out = jax.lax.map(lambda a: fn(*a), args)
+        out = _cf_impl_batched(*args, compute_dtype=compute_dtype,
+                               interpret=interpret)
         return out, True
 
     return fn
+
+
+def _mlp_kernel_b(scale_ref, clamp_ref, pts_ref, freqs_ref, *refs,
+                  n_layers: int, compute_dtype=None):
+    """Batched-model grid step: same math as _mlp_kernel with the leading
+    (1, ...) sequence-block dims squeezed. Blocks: scale/clamp (1, 1, 1) VMEM
+    (per-sequence SMEM scalars can't satisfy the (8, 128) block rule),
+    pts (1, 3, T), freqs (1, F, 1), weights (1, out, in), biases (1, out, 1),
+    out (1, 1, T)."""
+    out_ref = refs[-1]
+    wb = refs[:-1]
+    s = scale_ref[0, 0, 0]
+    x = pts_ref[0] * s                       # (3, T)
+    f = freqs_ref[0]                         # (F, 1)
+    parts = [x]
+    for trig in (jnp.sin, jnp.cos):
+        for c in range(3):
+            parts.append(trig(f * x[c:c + 1, :]))
+    h = jnp.concatenate(parts, axis=0)
+    for i in range(n_layers):
+        wt = wb[2 * i][0]
+        b = wb[2 * i + 1][0]
+        if compute_dtype is not None:
+            h = h.astype(compute_dtype)
+            wt = wt.astype(compute_dtype)
+        h = jnp.dot(wt, h, preferred_element_type=jnp.float32) + b
+        if i < n_layers - 1:
+            h = jnp.maximum(h, 0.0)
+    c = clamp_ref[0, 0, 0]
+    out_ref[0] = jnp.clip(h, -c, c)          # (1, T)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _cf_impl_batched(weights, biases, freqs, scale, clamp, points_cf,
+                     compute_dtype=None, interpret: bool = False):
+    """Per-sequence models: every arg carries a leading S axis. One kernel
+    launch with grid (S, G) — sequence s's grid steps read weight/mask block
+    s — instead of the sequential lax.map this replaces."""
+    s_axis = points_cf.shape[0]
+    *batch, three, n = points_cf.shape[1:]
+    assert three == 3, points_cf.shape
+    out_shape = (s_axis,) + tuple(batch) + (n,)
+    flat = jnp.moveaxis(points_cf.reshape(s_axis, -1, 3, n), 2, 1)
+    flat = flat.reshape(s_axis, 3, -1).astype(jnp.float32)   # (S, 3, M)
+    m = flat.shape[-1]
+    tile = TILE if m >= TILE else _round_up(max(m, 128), 128)
+    m_pad = _round_up(m, tile)
+    if m_pad != m:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, m_pad - m)))
+
+    n_layers = len(weights)
+    freqs3 = freqs.reshape(s_axis, -1, 1).astype(jnp.float32)
+    scale2 = jnp.reshape(scale, (s_axis, 1, 1)).astype(jnp.float32)
+    clamp2 = jnp.reshape(clamp, (s_axis, 1, 1)).astype(jnp.float32)
+    wb = []
+    for w, b in zip(weights, biases):
+        wb.append(jnp.swapaxes(w.astype(jnp.float32), -1, -2))  # (S, out, in)
+        wb.append(b.reshape(s_axis, -1, 1).astype(jnp.float32))
+
+    kernel = partial(_mlp_kernel_b, n_layers=n_layers,
+                     compute_dtype=compute_dtype)
+    per_seq = lambda s, g: (s, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(s_axis, m_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), per_seq,
+                         memory_space=pltpu.VMEM),               # scale
+            pl.BlockSpec((1, 1, 1), per_seq,
+                         memory_space=pltpu.VMEM),               # clamp
+            pl.BlockSpec((1, 3, tile), lambda s, g: (s, 0, g),
+                         memory_space=pltpu.VMEM),               # points
+            pl.BlockSpec((1,) + freqs3.shape[1:], per_seq,
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1,) + a.shape[1:], per_seq,
+                          memory_space=pltpu.VMEM) for a in wb],
+        out_specs=pl.BlockSpec((1, 1, tile), lambda s, g: (s, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_axis, 1, m_pad), jnp.float32),
+        interpret=interpret,
+    )(scale2, clamp2, flat, freqs3, *wb)
+    return out[:, 0, :m].reshape(out_shape)

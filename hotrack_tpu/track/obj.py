@@ -45,19 +45,33 @@ def track_obj_sequence(
 def track_obj_sequences_batched(sdf_volumes, presampled, obj_points,
                                 init_rotations, init_translations,
                                 voxel_scale: float = 0.002,
-                                bbox_res: int = 201) -> ObjTrackResult:
+                                bbox_res: int = 201,
+                                distilled=None) -> ObjTrackResult:
     """Track S sequences concurrently: vmap of the per-sequence scan.
 
     Tracking is sequential within a sequence but embarrassingly parallel
     across sequences (SURVEY §2.3); one chip runs S particle optimizations in
     lockstep, and sharding the S axis over a Mesh scales further. Inputs gain
     a leading S axis: sdf_volumes (S, V, V, V), obj_points (S, T, N, 3), ...
+
+    `distilled`: optional stacked per-sequence DistilledSDF (each leaf with a
+    leading S axis). On TPU the vmapped queries run through the batched
+    Pallas kernel (ops/pallas/sdf_mlp._cf_impl_batched) — one launch with a
+    (sequence, tile) grid, each sequence's grid steps reading its own
+    weights.
     """
+    if distilled is None:
+        fn = jax.vmap(
+            lambda vol, pts, r, t: track_obj_sequence(
+                vol, presampled, pts, r, t, voxel_scale=voxel_scale,
+                bbox_res=bbox_res))
+        return fn(sdf_volumes, obj_points, init_rotations, init_translations)
     fn = jax.vmap(
-        lambda vol, pts, r, t: track_obj_sequence(
+        lambda vol, pts, r, t, d: track_obj_sequence(
             vol, presampled, pts, r, t, voxel_scale=voxel_scale,
-            bbox_res=bbox_res))
-    return fn(sdf_volumes, obj_points, init_rotations, init_translations)
+            bbox_res=bbox_res, distilled=d))
+    return fn(sdf_volumes, obj_points, init_rotations, init_translations,
+              distilled)
 
 
 def track_obj_with_shape_update(

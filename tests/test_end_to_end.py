@@ -195,3 +195,49 @@ def test_tracking_determinism(env):
     r2 = track_hand_sequence(trainer.model, trainer.variables, mano, batch)
     np.testing.assert_array_equal(np.asarray(r1.pred_kp),
                                   np.asarray(r2.pred_kp))
+
+
+def test_obj_tracking_batched_distilled(env):
+    """Batched multi-sequence object tracking with per-sequence distilled
+    SDFs: results match per-sequence tracking (XLA fallback on CPU; on TPU
+    the same call lands in the batched Pallas kernel)."""
+    from hotrack_tpu.sdf.distill import distill_sdf_volume
+    from hotrack_tpu.track.obj import track_obj_sequences_batched
+
+    _, mano = env
+    cfg = _small_cfg({"track": "obj_opt", "batch_size": 1, "num_points": 128,
+                      "obj_jitter_cfg/r": 5, "obj_jitter_cfg/t": 0.02})
+    loader = get_dataloader(cfg, "test")
+    raw, _ = loader[0]
+    key = jax.random.PRNGKey(2)
+    batch = prepare_batch(
+        mano, jax.tree.map(jnp.asarray, raw), key, cfg["num_points"],
+        obj_jitter={"rotation": float(np.deg2rad(5)), "translation": 0.02,
+                    "scale": 0.0})
+
+    volume = synthetic_box_sdf_setup(65, 0.006)
+    particles = presample_particles(jax.random.PRNGKey(3), 256, 6)
+    model = distill_sdf_volume(volume, 0.006, jax.random.PRNGKey(4),
+                               steps=300, batch=1024)
+    pts = batch["obj_points"][:4]
+    r0 = batch["jittered_obj_pose"]["rotation"][0]
+    t0 = batch["jittered_obj_pose"]["translation"][0]
+
+    # two "sequences": the same frames and a reversed copy
+    volumes = jnp.stack([volume, volume])
+    pts_b = jnp.stack([pts, pts[::-1]])
+    r_b = jnp.stack([r0, r0])
+    t_b = jnp.stack([t0, t0])
+    models = jax.tree.map(lambda a: jnp.stack([a, a]), model)
+
+    batched = track_obj_sequences_batched(
+        volumes, particles, pts_b, r_b, t_b, voxel_scale=0.006, bbox_res=65,
+        distilled=models)
+    single = track_obj_sequence(volume, particles, pts, r0, t0,
+                                voxel_scale=0.006, bbox_res=65,
+                                distilled=model)
+    assert batched.rotation.shape == (2, 4, 3, 3)
+    np.testing.assert_allclose(np.asarray(batched.rotation[0]),
+                               np.asarray(single.rotation), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(batched.translation[0]),
+                               np.asarray(single.translation), atol=1e-5)
