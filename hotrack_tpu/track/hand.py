@@ -259,3 +259,32 @@ def track_hand_sequence(
         mano_theta=outs["MANO_theta"],
         pred_beta=shape_final,
     )
+
+
+def track_hand_sequences_sharded(handnet, variables, mano_model,
+                                 stacked_frames, devices=None, **kwargs):
+    """Multi-chip tracking eval: vmap equal-length sequences and shard the
+    sequence axis over a 1-D device mesh.
+
+    This is the whole multi-chip story for tracking (SURVEY §2.3): sequences
+    are embarrassingly parallel, so S sequences over D chips is a
+    `NamedSharding(P("seq"))` on every leading-S input — XLA partitions the
+    vmapped scan with zero collectives (params replicated, no cross-sequence
+    state). `stacked_frames` is the per-sequence `frames` pytree stacked on a
+    leading S axis; S must divide by the device count. kwargs pass through to
+    `track_hand_sequence` (batched per-sequence extras like shape_particles
+    stay replicated unless they carry a leading S axis themselves).
+    """
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices() if devices is None else devices)
+    mesh = Mesh(devices, ("seq",))
+    seq = NamedSharding(mesh, P("seq"))
+    repl = NamedSharding(mesh, P())
+    stacked_frames = jax.device_put(stacked_frames, seq)
+    variables = jax.device_put(variables, repl)
+
+    fn = jax.jit(jax.vmap(lambda b: track_hand_sequence(
+        handnet, variables, mano_model, b, **kwargs)))
+    return fn(stacked_frames)

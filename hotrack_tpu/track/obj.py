@@ -139,3 +139,29 @@ def track_obj_with_shape_update(
     result = ObjTrackResult(rotation=jnp.stack(rs), translation=jnp.stack(ts),
                             sdf_energy=jnp.stack(energies))
     return result, latent
+
+
+def track_obj_sequences_sharded(sdf_volumes, presampled, obj_points,
+                                init_rotations, init_translations,
+                                devices=None, **kwargs):
+    """Multi-chip object tracking: `track_obj_sequences_batched` with the
+    sequence axis sharded over a 1-D device mesh (params/particle bank
+    replicated, per-sequence volumes/clouds/poses split; no collectives —
+    sequences are independent)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devices = np.asarray(jax.devices() if devices is None else devices)
+    mesh = Mesh(devices, ("seq",))
+    seq = NamedSharding(mesh, P("seq"))
+    repl = NamedSharding(mesh, P())
+    sdf_volumes, obj_points, init_rotations, init_translations = (
+        jax.device_put(x, seq) for x in (sdf_volumes, obj_points,
+                                         init_rotations, init_translations))
+    presampled = jax.device_put(presampled, repl)
+    distilled = kwargs.pop("distilled", None)
+    if distilled is not None:
+        distilled = jax.device_put(distilled, seq)
+    return track_obj_sequences_batched(
+        sdf_volumes, presampled, obj_points, init_rotations,
+        init_translations, distilled=distilled, **kwargs)
