@@ -52,11 +52,18 @@ def get_config(args, save: bool = True, config_base: str | None = None) -> dict:
     args = dict(vars(args)) if not isinstance(args, dict) else dict(args)
     cfg = _load_yaml(pjoin(base, "all_config", args.pop("config")))
 
+    # '--data_cfg/<key>' paths override the data config (loaded below);
+    # everything else overrides the experiment config
+    data_overrides = {k: args.pop(k) for k in list(args)
+                      if k.startswith("data_cfg/")}
     for key, item in args.items():
         if item is not None:
             overwrite_config(cfg, key, key.split("/"), item)
 
     data_cfg = _load_yaml(pjoin(base, "data_config", cfg["data_config"]))
+    for key, item in data_overrides.items():
+        if item is not None:
+            overwrite_config(data_cfg, key, key.split("/")[1:], item)
 
     cfg["pointnet"] = {
         key: _load_yaml(pjoin(base, "pointnet_config", value))

@@ -86,21 +86,23 @@ def run_hand_tracking(cfg, save_flag: bool = False):
         energy_weight = {k: float(v)
                          for k, v in cfg["opt"]["energy_weight"].items()}
 
-    # batched multi-sequence evaluation (experimental): tracking is
-    # sequential within a sequence but embarrassingly parallel across
-    # sequences — vmap N equal-length sequences through one scan (cfg
-    # eval_batch_seqs). Controlled device-side measurements show near-linear
-    # aggregate scaling (BENCHMARKS.md); the end-to-end runner wall-clock is
-    # currently dominated by per-sequence host I/O + dispatch, so treat this
-    # as the deployment skeleton rather than a tuned path. vmap also
-    # fp-reorders per-frame math (metrics equal to ~fp-chaos level). The
-    # optimization path keeps per-sequence execution (per-sequence SDF
-    # volumes/masks).
+    # batched multi-sequence evaluation: tracking is sequential within a
+    # sequence but embarrassingly parallel across sequences — vmap N
+    # equal-length sequences through one scan (cfg eval_batch_seqs).
+    # Controlled device-side measurements show near-linear aggregate scaling
+    # (BENCHMARKS.md); the end-to-end runner wall-clock is currently
+    # dominated by per-sequence host I/O + dispatch, so treat this as the
+    # deployment skeleton rather than a tuned path. vmap also fp-reorders
+    # per-frame math (metrics equal to ~fp-chaos level). The optimization
+    # path vmaps per-sequence SDFs/masks too — on TPU those land in the
+    # batched Pallas kernels (ops/pallas/sdf_mlp.py, mask_lookup.py).
     batch_seqs = int(cfg.get("eval_batch_seqs", 1))
-    if batch_seqs > 1 and not use_opt:
+    if batch_seqs > 1:
         return _run_batched(cfg, save_flag, loader, mano, key, hj,
                             handnet_tr, iknet_tr, use_iknet, shape_mode,
-                            shape_particles, batch_seqs)
+                            shape_particles, batch_seqs,
+                            use_opt=use_opt, pose_particles=pose_particles,
+                            zones=zones, energy_weight=energy_weight)
 
     total, n_seq = {}, 0
     n_frames, net_time, data_time = 0, 0.0, 0.0
@@ -165,20 +167,46 @@ def run_hand_tracking(cfg, save_flag: bool = False):
 
 
 def _run_batched(cfg, save_flag, loader, mano, key, hj, handnet_tr, iknet_tr,
-                 use_iknet, shape_mode, shape_particles, batch_seqs):
-    """vmap groups of equal-length sequences through the scan driver."""
+                 use_iknet, shape_mode, shape_particles, batch_seqs,
+                 use_opt=False, pose_particles=None, zones=None,
+                 energy_weight=None):
+    """vmap groups of equal-length sequences through the scan driver.
+
+    With use_opt, each chunk stacks per-sequence SDFs (distilled models) and
+    silhouette masks on the vmapped axis; the Pallas kernels batch them as a
+    (sequence, tile) grid on TPU."""
     # group sequence indices by length
     groups = {}
     for seq_idx in range(len(loader)):
         t = len(loader.sequences[seq_idx])
         groups.setdefault(t, []).append(seq_idx)
 
-    track_vmapped = jax.vmap(
-        lambda b: track_hand_sequence(
-            handnet_tr.model, handnet_tr.variables, mano, b,
-            iknet=iknet_tr.model if iknet_tr else None,
-            ik_variables=iknet_tr.variables if iknet_tr else None,
-            shape_mode=shape_mode, shape_particles=shape_particles))
+    common = dict(iknet=iknet_tr.model if iknet_tr else None,
+                  ik_variables=iknet_tr.variables if iknet_tr else None,
+                  shape_mode=shape_mode, shape_particles=shape_particles)
+    if not use_opt:
+        track_vmapped = jax.vmap(
+            lambda b: track_hand_sequence(
+                handnet_tr.model, handnet_tr.variables, mano, b, **common))
+    else:
+        opt_common = dict(use_opt=True, pose_particles=pose_particles,
+                          zones=zones, energy_weight=energy_weight,
+                          use_pred_obj_pose=bool(
+                              cfg.get("use_pred_obj_pose", False)),
+                          sdf_voxel_scale=HAND_VOXEL_SCALE, **common)
+        track_vmapped_vol = jax.vmap(
+            lambda b, vol, masks: track_hand_sequence(
+                handnet_tr.model, handnet_tr.variables, mano, b,
+                sdf_volume=vol, background_masks=masks, **opt_common))
+        track_vmapped_dist = jax.vmap(
+            lambda b, vol, masks, dist: track_hand_sequence(
+                handnet_tr.model, handnet_tr.variables, mano, b,
+                sdf_volume=vol, background_masks=masks, distilled=dist,
+                **opt_common))
+
+    use_distill = (cfg.get("sdf_query",
+                           "distilled" if jax.default_backend() == "tpu"
+                           else "volume") == "distilled")
 
     total, n_seq, n_frames = {}, 0, 0
     t_start = time.time()
@@ -193,7 +221,29 @@ def _run_batched(cfg, save_flag, loader, mano, key, hj, handnet_tr, iknet_tr,
                                      jitter_kind=hj["rand_type"])
                        for r in raws]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
-            results = track_vmapped(stacked)
+            if not use_opt:
+                results = track_vmapped(stacked)
+            else:
+                vols = jnp.stack([_hand_volume(cfg, metas[0])
+                                  for metas in metas_list])
+                masks = [load_background_masks(cfg, metas)
+                         for metas in metas_list]
+                mh = max(m.shape[1] for m in masks)
+                mw = max(m.shape[2] for m in masks)
+                masks = jnp.stack([
+                    np.pad(m, ((0, 0), (0, mh - m.shape[1]),
+                               (0, mw - m.shape[2]))) for m in masks])
+                if use_distill:
+                    from ..sdf.distill import distill_sdf_volume
+                    models = []
+                    for vol in vols:
+                        key, kd = jax.random.split(key)
+                        models.append(distill_sdf_volume(
+                            vol, HAND_VOXEL_SCALE, kd))
+                    dist = jax.tree.map(lambda *xs: jnp.stack(xs), *models)
+                    results = track_vmapped_dist(stacked, vols, masks, dist)
+                else:
+                    results = track_vmapped_vol(stacked, vols, masks)
             for bi, (batch, metas) in enumerate(zip(batches, metas_list)):
                 result = jax.tree.map(lambda a: a[bi], results)
                 metrics = cvt_numpy(eval_hand_sequence(

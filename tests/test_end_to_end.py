@@ -312,3 +312,65 @@ def test_sharded_multi_sequence_tracking(env):
     np.testing.assert_allclose(np.asarray(sharded_o.rotation[:, 0]),
                                np.asarray(plain_o.rotation[:, 0]), atol=1e-3)
     assert np.isfinite(np.asarray(sharded_o.rotation)).all()
+
+
+def test_vmapped_opt_tracking_with_per_sequence_assets(env):
+    """IKNet+pose-opt tracking under vmap with per-sequence SDF volumes,
+    distilled models, and masks (the batched full-pipeline path): frame-0
+    parity with per-sequence execution, finite trajectories."""
+    from hotrack_tpu.models import IKNet
+    from hotrack_tpu.opt import load_contact_zones
+    from hotrack_tpu.sdf.distill import distill_sdf_volume
+
+    _, mano = env
+    cfg = _small_cfg({"track": "hand_IKNet", "batch_size": 1,
+                      "hand_jitter_cfg/rand_scale": 0.01})
+    loader = get_dataloader(cfg, "test")
+    key = jax.random.PRNGKey(9)
+    batches = []
+    for i in range(2):
+        raw, _ = loader[i % len(loader)]
+        key, k = jax.random.split(key)
+        b = prepare_batch(mano, jax.tree.map(jnp.asarray, raw), k,
+                          cfg["num_points"], hand_jitter_scale=0.01)
+        batches.append(jax.tree.map(lambda a: a[:3], b))  # 3 frames
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+    trainer.init_state(jax.tree.map(lambda a: a[:1], batches[0]))
+    iknet = IKNet()
+    ik_vars = iknet.init(jax.random.PRNGKey(10),
+                         batches[0]["jittered_hand_kp"][:1],
+                         batches[0]["gt_hand_pose"]["palm_template"][:1])
+
+    vol = synthetic_box_sdf_setup(65, 0.006)
+    vols = jnp.stack([vol, vol])
+    model = distill_sdf_volume(vol, 0.006, jax.random.PRNGKey(11),
+                               steps=200, batch=1024)
+    models = jax.tree.map(lambda a: jnp.stack([a, a]), model)
+    masks = jnp.zeros((2, 3, 8, 8), bool)
+    zones = load_contact_zones(None)
+    key, kp_ = jax.random.split(key)
+    pose_particles = presample_particles(kp_, 64, 16)
+    key, ks_ = jax.random.split(key)
+    shape_particles = presample_particles(ks_, 64, 10)
+    ew = {k: 1.0 for k in ("sil_loss", "penetrate_sum_loss", "vis_regu_loss",
+                           "invis_regu_loss", "temporal_smooth",
+                           "attraction_loss")}
+
+    def run_one(b, vol, mask, dist):
+        return track_hand_sequence(
+            trainer.model, trainer.variables, mano, b,
+            iknet=iknet, ik_variables=ik_vars, use_opt=True, shape_mode=1,
+            shape_particles=shape_particles, pose_particles=pose_particles,
+            zones=zones, sdf_volume=vol, background_masks=mask,
+            energy_weight=ew, sdf_voxel_scale=0.006, distilled=dist)
+
+    batched = jax.vmap(run_one)(stacked, vols, masks, models)
+    single = run_one(jax.tree.map(lambda a: a[0], stacked), vol, masks[0],
+                     model)
+    assert batched.pred_kp.shape == (2, 3, 21, 3)
+    assert np.isfinite(np.asarray(batched.pred_kp)).all()
+    np.testing.assert_allclose(np.asarray(batched.pred_kp[0, 0]),
+                               np.asarray(single.pred_kp[0]), atol=5e-3)
