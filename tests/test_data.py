@@ -93,3 +93,12 @@ def test_dataloaders(env):
     assert len(seq_loader) >= 1
     frames, metas = seq_loader[0]
     assert frames.hand_points.shape[0] == 6  # whole sequence stacked
+
+
+def test_data_cfg_cli_override():
+    """--data_cfg/<key> paths override the data config (e.g. sequence chunk
+    length for synthetic sets)."""
+    from hotrack_tpu.config import get_config
+    cfg = get_config({"config": "handtracknet_test_SimGrasp.yml",
+                      "data_cfg/num_frames": 8}, save=False)
+    assert cfg["data_cfg"]["num_frames"] == 8
