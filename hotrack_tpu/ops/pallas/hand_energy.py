@@ -1,0 +1,229 @@
+"""Pallas TPU kernel: fused per-vertex hand-energy terms — object-frame
+distilled-SDF and silhouette mask lookup in ONE pass over the MANO vertices.
+
+The hand pose optimizer evaluates two per-vertex quantities for 5120
+particles x 778 vertices per iteration: the SDF of each vertex in the object
+frame (ops/pallas/sdf_mlp.py) and whether its camera projection lands on the
+background mask (ops/pallas/mask_lookup.py). Run as separate kernels each
+pays its own grid of ~2k launches per iteration plus the XLA glue that
+computes the object-frame transform and the pixel coordinates between them —
+measured ~10 ms/iter of overhead beyond the kernels' compute. This kernel
+takes the raw camera-frame vertices once and produces both outputs:
+
+    per tile (3, T) of vertices:
+      obj   = R^T x - R^T t                      (MXU 3x3)
+      sdf   = clamp(MLP(fourier(obj * scale)))   (MXU, VMEM-resident)
+      iy,ix = clip(project(x))                   (VPU)
+      hit   = bit(packed_mask, iy, ix)           (bit-packed one-hot MXU
+                                                  matmuls, transposed layout:
+                                                  onehot (H, T), packed^T
+                                                  (WP, H) — everything stays
+                                                  channels-first)
+
+Exactness: sdf matches sdf_mlp's kernel; hit matches mask_lookup's kernel
+bit-for-bit (same bf16-exact bit-packing math in the transposed layout).
+
+vmap: batched vertices fold into the point axis; batched per-sequence assets
+(model/mask/pose) fall back to the separate batched kernels — which is also
+the escape hatch if this kernel is disabled (HOTRACK_NO_FUSED_ENERGY=1).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mask_lookup import BITS
+
+TILE = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
+                   pts_ref, rot_t_ref, rt_ref, freqs_ref, packed_t_ref,
+                   *refs, n_layers: int, h: int, w: int, compute_dtype=None,
+                   mask_dtype=jnp.bfloat16):
+    """Blocks: pts (3, T); rot_t (8, 128)-padded (3, 3); rt (3, 1);
+    freqs (F, 1); packed_t (WP, H); weights (out, in) / biases (out, 1);
+    outputs sdf (T,), hit (T,)."""
+    sdf_ref, hit_ref = refs[-2], refs[-1]
+    wb = refs[:-2]
+    x = pts_ref[:]                                   # (3, T) camera frame
+
+    # ---- object-frame SDF ----
+    obj = jnp.dot(rot_t_ref[:], x,
+                  preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
+    s = scale_ref[0, 0]
+    xo = obj * s
+    f = freqs_ref[:]                                 # (F, 1)
+    parts = [xo]
+    for trig in (jnp.sin, jnp.cos):
+        for c in range(3):
+            parts.append(trig(f * xo[c:c + 1, :]))
+    hcur = jnp.concatenate(parts, axis=0)            # (3 + 6F, T)
+    for i in range(n_layers):
+        wt = wb[2 * i][:]
+        b = wb[2 * i + 1][:]
+        if compute_dtype is not None:
+            hcur = hcur.astype(compute_dtype)
+            wt = wt.astype(compute_dtype)
+        hcur = jnp.dot(wt, hcur, preferred_element_type=jnp.float32) + b
+        if i < n_layers - 1:
+            hcur = jnp.maximum(hcur, 0.0)
+    c = clamp_ref[0, 0]
+    sdf_ref[:] = jnp.clip(hcur, -c, c)[0]
+
+    # ---- silhouette hit ----
+    t = x.shape[1]
+    z = x[2:3, :]
+    iy = jnp.clip((x[1:2, :] / z * fy_ref[0, 0]
+                   + cy_ref[0, 0]).astype(jnp.int32), 0, h - 1)   # (1, T)
+    ix = jnp.clip((x[0:1, :] / z * fx_ref[0, 0]
+                   + cx_ref[0, 0]).astype(jnp.int32), 0, w - 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, t), 0)
+    # bf16 on TPU (words < 256 are bf16-exact); f32 in interpret mode
+    onehot_y = (rows == iy).astype(mask_dtype)                    # (H, T)
+    row_words = jnp.dot(packed_t_ref[:].astype(mask_dtype), onehot_y,
+                        preferred_element_type=jnp.float32)       # (WP, T)
+    wp = row_words.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (wp, t), 0)
+    onehot_w = (cols == ix // BITS).astype(jnp.float32)
+    word = jnp.sum(row_words * onehot_w, axis=0, keepdims=True)   # (1, T)
+    b = (ix % BITS).astype(jnp.float32)
+    hi = jnp.floor(word * jnp.exp2(-b))
+    hi2 = jnp.floor(word * jnp.exp2(-(b + 1.0)))
+    hit_ref[:] = (hi - 2.0 * hi2)[0]
+
+
+@partial(jax.jit, static_argnames=("hw", "compute_dtype", "interpret"))
+def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
+                fx, fy, cx, cy, points_cf, hw, compute_dtype=None,
+                interpret: bool = False):
+    h, w = hw
+    *batch, three, n = points_cf.shape
+    assert three == 3, points_cf.shape
+    out_shape = tuple(batch) + (n,)
+    flat = jnp.moveaxis(points_cf.reshape(-1, 3, n), 1, 0).reshape(3, -1)
+    flat = flat.astype(jnp.float32)
+    m = flat.shape[1]
+    tile = TILE if m >= TILE else _round_up(max(m, 128), 128)
+    m_pad = _round_up(m, tile)
+    if m_pad != m:
+        # pad with z=1 so the in-kernel projection never divides by zero
+        pad = jnp.ones((3, m_pad - m), jnp.float32)
+        flat = jnp.concatenate([flat, pad], axis=1)
+
+    n_layers = len(weights)
+    freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
+    packed_t = jnp.swapaxes(packed.astype(jnp.float32), 0, 1)   # (WP, H)
+    scalars = [jnp.reshape(v, (1, 1)).astype(jnp.float32)
+               for v in (scale, clamp, fx, fy, cx, cy)]
+    rt2 = jnp.reshape(rt, (3, 1)).astype(jnp.float32)
+    wb = []
+    for wgt, b in zip(weights, biases):
+        wb.append(jnp.swapaxes(wgt.astype(jnp.float32), 0, 1))
+        wb.append(b.reshape(-1, 1).astype(jnp.float32))
+
+    kernel = partial(_energy_kernel, n_layers=n_layers, h=h, w=w,
+                     compute_dtype=compute_dtype,
+                     mask_dtype=jnp.float32 if interpret else jnp.bfloat16)
+    fixed = lambda i: (0, 0)  # noqa: E731
+    sdf, hit = pl.pallas_call(
+        kernel,
+        grid=(m_pad // tile,),
+        in_specs=[pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM)] * 6
+        + [
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),              # points
+            pl.BlockSpec(rot_t.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(freqs2.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_t.shape, fixed, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(a.shape, fixed, memory_space=pltpu.VMEM)
+             for a in wb],
+        out_specs=[pl.BlockSpec((tile,), lambda i: (i,),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((m_pad,), jnp.float32)] * 2,
+        interpret=interpret,
+    )(*scalars, flat, rot_t.astype(jnp.float32), rt2, freqs2, packed_t, *wb)
+    return sdf[:m].reshape(out_shape), hit[:m].reshape(out_shape)
+
+
+def fused_hand_energy(distilled, packed, obj_rotation, obj_translation,
+                      fx, fy, cx, cy, points_cf, hw,
+                      compute_dtype=None, interpret: bool = False):
+    """Camera-frame vertices (..., 3, N) -> (sdf (..., N), background_hit
+    (..., N)) in one kernel pass.
+
+    distilled: sdf.distill.DistilledSDF; packed: mask_lookup.pack_mask
+    output (H, WP); obj_rotation (3, 3) / obj_translation (3,) define the
+    object frame (obj = R^T (x - t)); hw = (H, W) static mask dims."""
+    rot_t = jnp.swapaxes(obj_rotation, 0, 1)
+    rt = jnp.matmul(rot_t, jnp.reshape(obj_translation, (3, 1)))
+    return _fused_vmapped(hw, compute_dtype, interpret)(
+        tuple(distilled.weights), tuple(distilled.biases), distilled.freqs,
+        distilled.scale, distilled.clamp, packed, rot_t, rt,
+        fx, fy, cx, cy, points_cf)
+
+
+@lru_cache(maxsize=None)
+def _fused_vmapped(hw, compute_dtype, interpret):
+    """custom_vmap: batched points fold into the point axis; batched assets
+    fall back to the separate batched kernels (sdf_mlp + mask_lookup)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
+           fx, fy, cx, cy, points_cf):
+        return _fused_impl(weights, biases, freqs, scale, clamp, packed,
+                           rot_t, rt, fx, fy, cx, cy, points_cf, hw,
+                           compute_dtype=compute_dtype, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, weights, biases, freqs, scale, clamp,
+              packed, rot_t, rt, fx, fy, cx, cy, points_cf):
+        args = (weights, biases, freqs, scale, clamp, packed, rot_t, rt,
+                fx, fy, cx, cy, points_cf)
+        assets_batched = any(jax.tree.leaves(tuple(in_batched[:12])))
+        if not assets_batched:
+            pts = (points_cf if in_batched[12] else jnp.broadcast_to(
+                points_cf[None], (axis_size,) + points_cf.shape))
+            return fn(*args[:12], pts), True
+
+        # separate batched kernels (each handles its own batched tables)
+        def bcast(x, b):
+            return x if b else jnp.broadcast_to(x[None],
+                                                (axis_size,) + x.shape)
+        (weights, biases, freqs, scale, clamp, packed, rot_t, rt,
+         fx, fy, cx, cy, points_cf) = jax.tree.map(bcast, args,
+                                                   tuple(in_batched))
+        from ..pallas.mask_lookup import packed_mask_lookup
+        from ..pallas.sdf_mlp import fused_sdf_mlp_cf
+        h, w = hw
+        s_axis, n = points_cf.shape[0], points_cf.shape[-1]
+        mid = points_cf.shape[1:-2]
+        flat = points_cf.reshape(s_axis, -1, 3, n)       # (S, B, 3, N)
+        obj = (jnp.einsum("sij,sbjn->sbin", rot_t, flat)
+               - rt[:, None, :, :])                       # (S, B, 3, N)
+        obj = obj.reshape(points_cf.shape)
+        sdf = jax.vmap(lambda ww, bb, ff, ss, cc, pp: fused_sdf_mlp_cf(
+            ww, bb, ff, ss, cc, pp, compute_dtype=compute_dtype,
+            interpret=interpret))(weights, biases, freqs, scale, clamp, obj)
+        expand = (slice(None),) + (None,) * (len(mid) + 1)
+        z = points_cf[..., 2, :]
+        iy = jnp.clip((points_cf[..., 1, :] / z * fy[expand] + cy[expand])
+                      .astype(jnp.int32), 0, h - 1)
+        ix = jnp.clip((points_cf[..., 0, :] / z * fx[expand] + cx[expand])
+                      .astype(jnp.int32), 0, w - 1)
+        hit = jax.vmap(lambda pk, a, b: packed_mask_lookup(
+            pk, a, b, interpret=interpret))(packed, iy, ix)
+        return (sdf, hit), (True, True)
+
+    return fn

@@ -152,37 +152,51 @@ def optimize_hand_pose(
                                 shaped=shaped)
         return hand, kp
 
+    use_fused = (use_packed_mask and distilled is not None
+                 and not os.environ.get("HOTRACK_NO_FUSED_ENERGY"))
+
     def energy_fn(params, sample_ext):
         hand, kp = forward_candidates(params, sample_ext)  # (P,778,3) (P,21,3)
 
-        # object-frame SDF at hand verts (optimization_hand.py:252-262)
-        if distilled is not None:
-            from ..sdf.distill import eval_distilled_sdf_cf
-            # channels-first (P, 3, 778): the transpose folds into the dot's
-            # dimension numbers, and no (..., 3)-minor array reaches the
-            # Pallas kernel boundary (see eval_distilled_sdf_cf)
-            obj_frame_cf = jnp.einsum("pnj,ji->pin",
-                                      hand - obj_translation[None, None],
-                                      obj_rotation)
-            sdf = eval_distilled_sdf_cf(distilled, obj_frame_cf)  # (P, 778)
-        else:
-            obj_frame = jnp.matmul(hand - obj_translation[None, None],
-                                   obj_rotation)
-            sdf = nearest_sdf(sdf_volume, obj_frame, voxel_scale,
-                              sdf_volume.shape[0])  # (P, 778)
-
-        # silhouette (:234-240); pixel coords computed per-axis so no
-        # (..., 2)-minor array is materialized (TPU lane-pads size-2 minors)
-        pz = hand[..., 2]
-        iy = jnp.clip((hand[..., 1] / pz * intrinsics["fy"]
-                       + intrinsics["cy"]).astype(jnp.int32), 0, h - 1)
-        ix = jnp.clip((hand[..., 0] / pz * intrinsics["fx"]
-                       + intrinsics["cx"]).astype(jnp.int32), 0, w - 1)
-        if use_packed_mask:
-            hits = packed_mask_lookup(packed, iy, ix)      # (P, 778)
+        if use_fused:
+            # one kernel pass for both per-vertex terms
+            # (ops/pallas/hand_energy.py)
+            from ..ops.pallas.hand_energy import fused_hand_energy
+            sdf, hits = fused_hand_energy(
+                distilled, packed, obj_rotation, obj_translation,
+                intrinsics["fx"], intrinsics["fy"], intrinsics["cx"],
+                intrinsics["cy"], jnp.swapaxes(hand, -1, -2), (h, w))
             sil = jnp.sum(hits, axis=-1) / hand.shape[1]
         else:
-            sil = jnp.sum(background_mask[iy, ix], axis=-1) / hand.shape[1]
+            # object-frame SDF at hand verts (optimization_hand.py:252-262)
+            if distilled is not None:
+                from ..sdf.distill import eval_distilled_sdf_cf
+                # channels-first (P, 3, 778): the transpose folds into the
+                # dot's dimension numbers, and no (..., 3)-minor array
+                # reaches the Pallas kernel boundary
+                obj_frame_cf = jnp.einsum("pnj,ji->pin",
+                                          hand - obj_translation[None, None],
+                                          obj_rotation)
+                sdf = eval_distilled_sdf_cf(distilled, obj_frame_cf)
+            else:
+                obj_frame = jnp.matmul(hand - obj_translation[None, None],
+                                       obj_rotation)
+                sdf = nearest_sdf(sdf_volume, obj_frame, voxel_scale,
+                                  sdf_volume.shape[0])  # (P, 778)
+
+            # silhouette (:234-240); pixel coords computed per-axis so no
+            # (..., 2)-minor array materializes (TPU lane-pads size-2 minors)
+            pz = hand[..., 2]
+            iy = jnp.clip((hand[..., 1] / pz * intrinsics["fy"]
+                           + intrinsics["cy"]).astype(jnp.int32), 0, h - 1)
+            ix = jnp.clip((hand[..., 0] / pz * intrinsics["fx"]
+                           + intrinsics["cx"]).astype(jnp.int32), 0, w - 1)
+            if use_packed_mask:
+                hits = packed_mask_lookup(packed, iy, ix)      # (P, 778)
+                sil = jnp.sum(hits, axis=-1) / hand.shape[1]
+            else:
+                sil = jnp.sum(background_mask[iy, ix],
+                              axis=-1) / hand.shape[1]
 
         # penetration (:264-268)
         pen = jnp.max(jnp.abs(sdf) * (sdf < 0.0), axis=-1)
