@@ -382,3 +382,149 @@ def test_obj_opt_trajectory_parity():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_t),
                                _np(ref_ret["translation"])[0], atol=2e-4)
+
+
+# ---------------------------------------------------------------- hand opts
+
+def test_hand_shape_opt_trajectory_parity(mano_root):
+    """Full gf_optimize_hand_shape trajectory (optimization_hand.py:31-124)
+    vs optimize_hand_shape: same particle bank, same rig, bone-length energy.
+    Particle bank trimmed to 512 to keep the CPU torch MANO forwards cheap —
+    the update rule is particle-count-agnostic."""
+    import contextlib
+
+    oh = reference_module("optimization_hand")
+    from hotrack_tpu.mano.layer import mano_forward
+    from hotrack_tpu.mano.model import synthetic_mano_model
+    from hotrack_tpu.opt.hand_shape import kp2length, optimize_hand_shape
+
+    cfg = {"device": "cpu", "mano_root": mano_root}
+    np.random.seed(9)
+    with contextlib.chdir("/root/reference"):  # contact-zone-free class, but
+        ref = oh.gf_optimize_hand_shape(cfg)   # keep CWD convention uniform
+    ref.particle_size = 512
+    ref.pre_sampled_particle = ref.pre_sampled_particle[:512]
+    bank = _np(ref.pre_sampled_particle)
+
+    model = synthetic_mano_model(0)
+    rng = np.random.RandomState(10)
+    true_beta = (rng.randn(1, 10) * 2.0).astype(np.float32)
+    _, kp = mano_forward(model, jnp.zeros((1, 48)), betas=jnp.asarray(true_beta))
+    pred_kp = torch.tensor(np.asarray(kp))
+
+    # exact-trajectory parity over a 5-iteration horizon. Beyond that the
+    # x2000 search-size gain amplifies f32 rounding chaotically (measured:
+    # 6e-6 @ iter 1 -> 5e-5 @ 5 -> 4.5e-3 @ 12); the pose optimizers (gains
+    # 2 and 0.1) stay tight over their full trajectories.
+    ref.iteration = 5
+    ref_shape5 = ref.optimize(pred_kp)
+    got_shape5, _ = optimize_hand_shape(model, jnp.asarray(bank),
+                                        kp2length(kp), iterations=5)
+    np.testing.assert_allclose(np.asarray(got_shape5), _np(ref_shape5),
+                               atol=2e-4)
+
+    # full 20-iteration runs: same converged bone-length energy (both land in
+    # the optimum basin; the exact point differs by amplified f32 noise)
+    ref.iteration = 20
+    ref_shape = _np(ref.optimize(pred_kp))
+    got_shape, got_e = optimize_hand_shape(model, jnp.asarray(bank),
+                                           kp2length(kp))
+
+    def bone_energy(beta):
+        _, k = mano_forward(model, jnp.zeros((1, 48)), betas=jnp.asarray(beta))
+        return float(jnp.mean(jnp.abs(kp2length(k) - kp2length(kp))))
+
+    e_ref, e_got = bone_energy(ref_shape), bone_energy(np.asarray(got_shape))
+    assert abs(e_ref - e_got) < 2e-4, (e_ref, e_got)
+
+
+def test_hand_pose_opt_trajectory_parity(mano_root, tmp_path):
+    """Full 5-iteration gf_optimize_hand_pose trajectory (optimization_hand.
+    py:127-394) vs optimize_hand_pose: all six energy terms (silhouette via a
+    fake mask png read through the reference's own cv2 path, nearest-voxel
+    SDF penetration, vis/invis regularization, contact-zone attraction with
+    the real Obman zones, temporal smoothness) with the reference's particle
+    bank and an injected analytic SDF volume."""
+    import contextlib
+
+    import cv2
+
+    oh = reference_module("optimization_hand")
+    from hotrack_tpu.mano.layer import mano_forward
+    from hotrack_tpu.mano.model import synthetic_mano_model
+    from hotrack_tpu.opt.hand_pose import load_contact_zones, optimize_hand_pose
+    from hotrack_tpu.sdf.assets import synthetic_box_sdf_setup
+
+    # fake SimGrasp silhouette the reference reads from disk (:323-325)
+    mask_dir = tmp_path / "masks" / "box" / "seq"
+    mask_dir.mkdir(parents=True)
+    rngm = np.random.RandomState(11)
+    mask_img = (rngm.rand(480, 640, 3) > 0.4).astype(np.uint8) * 255
+    cv2.imwrite(str(mask_dir / "f0.png"), mask_img)
+
+    cfg = {"device": "cpu", "mano_root": mano_root,
+           "data_config": "data_info_SimGrasp.yml",
+           "data_cfg": {"basepath": str(tmp_path), "dataset_name": "SimGrasp"},
+           "opt": {"energy_weight": {"penetrate_sum_loss": 1, "sil_loss": 0.1,
+                                     "attraction_loss": 0.05,
+                                     "vis_regu_loss": 10,
+                                     "invis_regu_loss": 0,
+                                     "temporal_smooth": 1},
+                   "NetworkSpecs": dict(dims=[8], dropout=[0], dropout_prob=0.2,
+                                        norm_layers=[0], latent_in=[],
+                                        xyz_in_all=False, use_tanh=False,
+                                        latent_dropout=False,
+                                        weight_norm=True)}}
+    np.random.seed(12)
+    with contextlib.chdir("/root/reference"):  # contact_zones.pkl rel path
+        ref = oh.gf_optimize_hand_pose(cfg)
+    del ref.volume_ind
+    ref.particle_size = 512
+    ref.pre_sampled_particle = ref.pre_sampled_particle[:512]
+    bank = _np(ref.pre_sampled_particle)
+
+    volume = synthetic_box_sdf_setup(151, 0.003)
+    ref.sdf_volume = torch.tensor(np.asarray(volume))
+
+    model = synthetic_mano_model(0)
+    rng = np.random.RandomState(13)
+    hand_shape = (rng.randn(1, 10) * 0.5).astype(np.float32)
+    init_theta = (rng.randn(1, 45) * 0.2).astype(np.float32)
+    init_r = np.eye(3, dtype=np.float32)[None]
+    init_t = np.array([[0.0, 0.0, 0.4]], np.float32).reshape(1, 3, 1)
+    obj_r = np.eye(3, dtype=np.float32)
+    obj_t = np.array([0.0, 0.0, 0.42], np.float32)
+    vis = np.ones((1, 21), bool)
+    vis[0, [8, 12, 4]] = False  # invisible fingertips -> attraction active
+
+    aa = np.concatenate([np.zeros((1, 3), np.float32), init_theta], -1)
+    _, kp0 = mano_forward(model, jnp.asarray(aa), betas=jnp.asarray(hand_shape),
+                          trans=jnp.asarray(init_t[..., 0]))
+    pred_kp = np.asarray(kp0) + rng.randn(1, 21, 3).astype(np.float32) * 0.005
+    last_kp = np.asarray(kp0) + rng.randn(1, 21, 3).astype(np.float32) * 0.003
+
+    proj = {"fx": [600.0], "fy": [600.0], "cx": [320.0], "cy": [240.0],
+            "w": [640], "h": [480]}
+    ref_kp, ref_theta, ref_r, ref_t = ref.optimize(
+        torch.tensor(init_theta), {"rotation": torch.tensor(init_r),
+                                   "translation": torch.tensor(init_t)},
+        torch.tensor(pred_kp), torch.tensor(last_kp), torch.tensor(vis),
+        {"rotation": torch.tensor(obj_r), "translation": torch.tensor(obj_t)},
+        "box", "f0", torch.tensor(hand_shape), proj)
+
+    zones = load_contact_zones(
+        "/root/reference/third_party/obman_train/assets/contact_zones.pkl")
+    background = jnp.asarray(mask_img.sum(-1) == 0)
+    got_kp, got_theta, got_r, got_t, _ = optimize_hand_pose(
+        model, jnp.asarray(bank), zones, volume, jnp.asarray(hand_shape),
+        jnp.asarray(init_r), jnp.asarray(init_t), jnp.asarray(init_theta),
+        jnp.asarray(pred_kp), jnp.asarray(vis), jnp.asarray(last_kp),
+        jnp.asarray(1.0), jnp.asarray(obj_r), jnp.asarray(obj_t), background,
+        {"fx": 600.0, "fy": 600.0, "cx": 320.0, "cy": 240.0},
+        {k: float(v) for k, v in cfg["opt"]["energy_weight"].items()})
+
+    np.testing.assert_allclose(np.asarray(got_r), _np(ref_r)[None], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_t)[..., 0], _np(ref_t), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_theta), _np(ref_theta), atol=2e-3)
+    err = np.abs(np.asarray(got_kp) - _np(ref_kp)).max()
+    assert err < 1e-4, f"hand-opt final kp max |diff| {err:.2e} >= 0.1 mm"
