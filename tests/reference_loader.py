@@ -78,14 +78,15 @@ def _patch_torch_cuda():
 
 def _setup():
     _install_chumpy_stub()
-    for stub in ("open3d", "plyfile", "trimesh"):
+    for stub in ("open3d", "plyfile", "trimesh", "transforms3d"):
         _install_empty(stub)
     _install_empty("skimage")
     _install_empty("skimage.measure")
     sys.modules["skimage"].measure = sys.modules["skimage.measure"]
     _patch_torch_cuda()
     for p in (REF_ROOT, os.path.join(REF_ROOT, "network"),
-              os.path.join(REF_ROOT, "network", "models")):
+              os.path.join(REF_ROOT, "network", "models"),
+              os.path.join(REF_ROOT, "datasets")):
         if p not in sys.path:
             sys.path.insert(0, p)
 

@@ -1,0 +1,413 @@
+"""Fixture-driven tests for the HO3D and DexYCB readers.
+
+Real assets are absent in this environment, so these tests synthesize tiny
+on-disk dataset trees in the exact file formats the readers consume (HO3D's
+R+G*256 depth PNGs, BGR seg masks, latin1 meta pkls, finalv2 split npys;
+DexYCB's 16-bit depth PNGs, labels_*.npz, meta.yml, calibration ymls, split
+npys) and drive reader -> SequenceData -> prepare_batch -> a HandTrackNet
+forward through them. The HO3D decode/backproject/split path is additionally
+cross-checked bit-for-bit against the reference's own `load_point_clouds`
+(/root/reference/datasets/HO3D_dataset.py:89-112).
+"""
+
+import os
+import pickle
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from hotrack_tpu.mano.layer import mano_forward
+from hotrack_tpu.mano.model import synthetic_mano_model
+
+FX = FY = 600.0
+CX, CY = 320.0, 240.0
+DEPTH_SCALE = 0.00012498664727900177
+
+# pixel blobs (rows, cols, depth m) for the two scene parts
+HAND_BLOB = (slice(200, 260), slice(380, 440), 0.45)
+OBJ_BLOB = (slice(210, 250), slice(280, 330), 0.5)
+
+
+def _blob_cloud(blob, flip=False, stride=1, quant=DEPTH_SCALE):
+    """Expected camera-frame points of a pixel blob (row-major order).
+    `quant` is the on-disk depth quantum (HO3D: DEPTH_SCALE counts;
+    DexYCB: 1 mm)."""
+    rs, cs, z = blob
+    rows = np.arange(rs.start, rs.stop)
+    cols = np.arange(cs.start, cs.stop)
+    if stride > 1:
+        rows = rows[(rows % stride) == 0]
+        cols = cols[(cols % stride) == 0]
+    rr, cc = np.meshgrid(rows, cols, indexing="ij")
+    # quantize depth exactly like the png encoding round-trip
+    zq = np.full(rr.shape, np.float32(round(z / quant) * quant), np.float32)
+    x = (cc - CX) * zq / FX
+    y = (rr - CY) * zq / FY
+    pts = np.stack([x, y, zq], -1).reshape(-1, 3)
+    if flip:
+        pts[:, 1] *= -1
+        pts[:, 2] *= -1
+    return pts.astype(np.float32)
+
+
+# ------------------------------------------------------------------- HO3D
+
+def _make_ho3d_tree(root, mano, seqs=("ABF10", "BOXY"), n_frames=3):
+    """Two sequences: 'ABF10' exercises the calibration-file intrinsics path
+    (seq[-2] numeric, HO3D_dataset.py:94-96), 'BOXY' the anno camMat path."""
+    import cv2
+
+    from hotrack_tpu.data.ho3d import KP_REORDER
+
+    cam_mat = np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1]])
+    inv_reorder = np.argsort(np.asarray(KP_REORDER))
+
+    # depth png: counts = z / scale, R = low byte, G = high byte (BGR on disk)
+    depth = np.zeros((480, 640), np.int32)
+    for rs, cs, z in (HAND_BLOB, OBJ_BLOB):
+        depth[rs, cs] = int(round(z / DEPTH_SCALE))
+    depth_img = np.zeros((480, 640, 3), np.uint8)
+    depth_img[:, :, 2] = depth % 256
+    depth_img[:, :, 1] = depth // 256
+
+    seg = np.zeros((480, 640, 3), np.uint8)
+    seg[HAND_BLOB[0], HAND_BLOB[1], 0] = 255   # hand = blue channel
+    seg[OBJ_BLOB[0], OBJ_BLOB[1], 1] = 255     # obj = green channel
+
+    obj_cloud = _blob_cloud(OBJ_BLOB, flip=True)
+    obj_trans = obj_cloud.mean(0)
+    hand_center = _blob_cloud(HAND_BLOB, flip=True).mean(0)
+
+    rng = np.random.RandomState(0)
+    for seq in seqs:
+        for d in ("depth", "seg", "meta"):
+            os.makedirs(pjoin(root, "train", seq, d), exist_ok=True)
+        for fid in range(n_frames):
+            name = "%04d" % fid
+            cv2.imwrite(pjoin(root, "train", seq, "depth", name + ".png"),
+                        depth_img)
+            cv2.imwrite(pjoin(root, "train", seq, "seg", name + ".png"), seg)
+
+            pose = (rng.randn(48) * 0.1).astype(np.float64)
+            beta = (rng.randn(10) * 0.3).astype(np.float64)
+            _, kp21 = mano_forward(mano, jnp.asarray(pose, jnp.float32)[None],
+                                   betas=jnp.asarray(beta, jnp.float32)[None],
+                                   trans=jnp.asarray(hand_center)[None],
+                                   original_version=True)
+            anno = {
+                "camMat": cam_mat,
+                "objName": "box",
+                "objRot": (rng.randn(3, 1) * 0.2),
+                "objTrans": obj_trans.astype(np.float64),
+                "handJoints3D": np.asarray(kp21[0])[inv_reorder],
+                "handPose": pose, "handTrans": hand_center.astype(np.float64),
+                "handBeta": beta,
+            }
+            with open(pjoin(root, "train", seq, "meta", name + ".pkl"), "wb") as f:
+                pickle.dump(anno, f)
+
+    calib_dir = pjoin(root, "calibration", "ABF1", "calibration")
+    os.makedirs(calib_dir, exist_ok=True)
+    with open(pjoin(calib_dir, "cam_0_intrinsics.txt"), "w") as f:
+        f.write(f"fx: {FX}, fy: {FY}, ppx: {CX}, ppy: {CY}\n")
+
+    os.makedirs(pjoin(root, "splits"), exist_ok=True)
+    np.save(pjoin(root, "splits", "finalv2_test_box.npy"),
+            {seq: {0: list(range(n_frames))} for seq in seqs})
+
+
+@pytest.fixture(scope="module")
+def ho3d_env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ho3d_root"))
+    mano = synthetic_mano_model()
+    _make_ho3d_tree(root, mano)
+    cfg = {"data_cfg": {"basepath": root, "dataset_name": "HO3D"},
+           "num_points": 64, "obj_category": ["box"]}
+    return cfg, mano, root
+
+
+def test_ho3d_reader_geometry(ho3d_env):
+    from hotrack_tpu.data.ho3d import HO3DDataset, KP_REORDER
+
+    cfg, mano, root = ho3d_env
+    ds = HO3DDataset(cfg, "test")
+    assert len(ds) == 6 and ds.seq_start == [0, 3]
+
+    for index in (0, 3):  # one frame of each sequence (both intrinsics paths)
+        frame, meta = ds[index]
+        assert bool(frame.valid) and meta["category"] == "box"
+        hand = frame.hand_points[frame.hand_valid]
+        obj = frame.obj_points[frame.obj_valid]
+        want_hand = _blob_cloud(HAND_BLOB, flip=True)
+        want_obj = _blob_cloud(OBJ_BLOB, flip=True)
+        # the reader permutes and presubsamples to the 5x budget; every
+        # surviving point must be one of the blob's back-projections
+        assert hand.shape[0] == min(len(want_hand), 5 * cfg["num_points"])
+        assert obj.shape[0] == min(len(want_obj), 5 * cfg["num_points"])
+        d = np.abs(hand[:, None] - want_hand[None]).sum(-1).min(1)
+        assert d.max() < 1e-6
+        d = np.abs(obj[:, None] - want_obj[None]).sum(-1).min(1)
+        assert d.max() < 1e-6
+
+        # annotation plumbing: kp reorder, mano fields, flipped-fx projection
+        with open(pjoin(root, "train", ds.seq_lst[index], "meta",
+                        "%04d.pkl" % ds.fid_lst[index]), "rb") as f:
+            anno = pickle.load(f, encoding="latin1")
+        np.testing.assert_allclose(
+            frame.annot_hand_kp, anno["handJoints3D"][list(KP_REORDER)],
+            atol=1e-6)
+        np.testing.assert_allclose(frame.mano_pose, anno["handPose"], atol=1e-6)
+        np.testing.assert_allclose(frame.projection,
+                                   [-FX, FY, CX, CY, 640, 480], atol=1e-6)
+
+
+def test_ho3d_decode_matches_reference(ho3d_env):
+    """_clouds (native fused decode path) vs the reference's own
+    load_point_clouds: identical clouds, order included."""
+    from reference_loader import reference_module
+
+    from hotrack_tpu.data.ho3d import HO3DDataset
+
+    cfg, _, root = ho3d_env
+    ref_ho3d = reference_module("HO3D_dataset")
+
+    # the reference's decode (`img[:,:,2] + img[:,:,1] * 256` on uint8,
+    # HO3D_dataset.py:43) relies on numpy 1.x value-based promotion to int16;
+    # numpy 2 raises OverflowError. Substitute the numerically identical
+    # widened form so the reference path runs under the installed numpy.
+    def _read_depth_img(path):
+        import cv2
+        img = cv2.imread(path)
+        return (img[:, :, 2].astype(np.int32)
+                + img[:, :, 1].astype(np.int32) * 256) * 0.00012498664727900177
+
+    ref_ho3d.read_depth_img = _read_depth_img
+
+    ds = HO3DDataset(cfg, "test")
+    for seq in ("ABF10", "BOXY"):
+        hand, obj, k, anno = ds._clouds(seq, "0000")
+        ref_hand, ref_obj, ref_k, _ = ref_ho3d.load_point_clouds(
+            root, seq, "0000")
+        np.testing.assert_allclose(hand, ref_hand, atol=1e-6)
+        np.testing.assert_allclose(obj, ref_obj, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(k), np.asarray(ref_k), atol=1e-9)
+
+
+def test_ho3d_pred_obj_pose_pickles(ho3d_env, tmp_path):
+    """use_pred_obj_pose consumption: the objopt stage's trajectory pickles
+    feed the hand stage (HO3D_dataset.py:223-234)."""
+    from hotrack_tpu.data.ho3d import HO3DDataset
+
+    cfg, _, root = ho3d_env
+    rng = np.random.RandomState(1)
+    poses = [{"rotation": np.linalg.qr(rng.randn(3, 3))[0],
+              "translation": rng.randn(3, 1) * 0.1} for _ in range(3)]
+    for seq in ("ABF10", "BOXY"):
+        with open(tmp_path / ("%s_0000.pkl" % seq), "wb") as f:
+            pickle.dump({"pred_obj_poses": poses}, f)
+
+    cfg2 = dict(cfg, use_pred_obj_pose=True, pred_obj_pose_dir=str(tmp_path))
+    ds = HO3DDataset(cfg2, "test")
+    frame, _ = ds[1]  # frame 1 of ABF10 -> poses[1]
+    np.testing.assert_allclose(frame.pred_obj_rotation,
+                               poses[1]["rotation"].astype(np.float32))
+    np.testing.assert_allclose(frame.pred_obj_translation,
+                               poses[1]["translation"].astype(np.float32))
+
+
+def test_ho3d_sequence_to_tracking_step(ho3d_env):
+    """SequenceData grouping by annotated segments -> prepare_batch
+    (template_with_theta) -> one HandTrackNet forward."""
+    from hotrack_tpu.data import SequenceData, prepare_batch
+    from hotrack_tpu.data.ho3d import HO3DDataset
+    from hotrack_tpu.models import HandTrackNet
+    from hotrack_tpu.models.hand_utils import handkp2palmkp
+
+    cfg, mano, _ = ho3d_env
+    seq_data = SequenceData(HO3DDataset(cfg, "test"))
+    assert len(seq_data) == 2
+    raw, metas = seq_data[0]
+    assert raw.hand_points.shape[0] == 3 and len(metas) == 3
+
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(0), 64,
+                          template_with_theta=True)
+    # annotated keypoints win over the MANO-derived ones (has_annot_kp)
+    np.testing.assert_allclose(np.asarray(batch["gt_hand_kp"]),
+                               raw.annot_hand_kp, atol=1e-6)
+    # rest template keeps finger pose, zeroes global rot (HO3D_dataset.py:186-191)
+    tpl_pose = jnp.asarray(raw.mano_pose).at[:, :3].set(0.0)
+    _, tpl_kp = mano_forward(mano, tpl_pose, betas=jnp.asarray(raw.mano_beta))
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_hand_pose"]["palm_template"]),
+        np.asarray(handkp2palmkp(tpl_kp)), atol=1e-5)
+
+    net_cfg = {"sa1": {"npoint": 32, "radius_list": [0.1], "nsample_list": [8],
+                       "mlp_list": [[16, 16, 32]]},
+               "sa2": {"npoint": 16, "radius_list": [0.2], "nsample_list": [8],
+                       "mlp_list": [[32, 32, 64]]},
+               "sa3": {"mlp": [64, 64, 96]}, "fp3": {"mlp": [64, 64]},
+               "fp2": {"mlp": [64, 64]}, "fp1": {"mlp": [64, 64]}}
+    model = HandTrackNet(net_cfg=net_cfg, backbone_out_dim=48, handframe="kp")
+    variables = model.init(jax.random.PRNGKey(0), batch["hand_points"],
+                           batch["jittered_hand_kp"],
+                           batch["gt_hand_pose"]["palm_template"])
+    out = model.apply(variables, batch["hand_points"],
+                      batch["jittered_hand_kp"],
+                      batch["gt_hand_pose"]["palm_template"],
+                      valid_mask=batch["hand_valid"])
+    assert out["pred_kp"].shape == (3, 21, 3)
+    assert bool(jnp.all(jnp.isfinite(out["pred_kp"])))
+
+
+# ------------------------------------------------------------------- DexYCB
+
+def _make_dexycb_tree(root, mano, n_frames=3):
+    from PIL import Image
+
+    subject, scene, serial = "20200709-subject-01", "20200709_141754", "836212060125"
+    seq = f"{subject}+{scene}+{serial}"
+    seq_dir = pjoin(root, subject, scene, serial)
+    os.makedirs(seq_dir, exist_ok=True)
+
+    depth = np.zeros((480, 640), np.uint16)
+    for rs, cs, z in (HAND_BLOB, OBJ_BLOB):
+        depth[rs, cs] = int(round(z * 1000))
+    seg = np.zeros((480, 640), np.uint8)
+    seg[HAND_BLOB[0], HAND_BLOB[1]] = 255  # hand label
+    seg[OBJ_BLOB[0], OBJ_BLOB[1]] = 13     # 024_bowl ycb id
+
+    obj_trans = _blob_cloud(OBJ_BLOB, stride=2, quant=1e-3).mean(0)
+    hand_center = _blob_cloud(HAND_BLOB, stride=2, quant=1e-3).mean(0)
+
+    rng = np.random.RandomState(2)
+    comps = np.asarray(mano.hands_components)
+    for fid in range(n_frames):
+        Image.fromarray(depth).save(
+            pjoin(seq_dir, "aligned_depth_to_color_%06d.png" % fid))
+        pose_y = np.zeros((2, 3, 4), np.float32)
+        pose_y[1, :, :3] = np.linalg.qr(rng.randn(3, 3))[0]
+        pose_y[1, :, 3] = obj_trans
+        pca = (rng.randn(45) * 0.1).astype(np.float32)
+        pose_m = np.zeros((1, 51), np.float32)
+        pose_m[0, :3] = rng.randn(3) * 0.1
+        pose_m[0, 3:48] = pca
+        pose_m[0, 48:51] = hand_center
+        np.savez(pjoin(seq_dir, "labels_%06d.npz" % fid), seg=seg,
+                 pose_y=pose_y, pose_m=pose_m)
+    del comps
+
+    with open(pjoin(root, subject, scene, "meta.yml"), "w") as f:
+        yaml.safe_dump({"ycb_ids": [3, 13], "ycb_grasp_ind": 1,
+                        "mano_calib": ["subject-01"]}, f)
+    os.makedirs(pjoin(root, "calibration", "intrinsics"), exist_ok=True)
+    with open(pjoin(root, "calibration", "intrinsics",
+                    f"{serial}_640x480.yml"), "w") as f:
+        yaml.safe_dump({"color": {"fx": FX, "fy": FY, "ppx": CX, "ppy": CY}}, f)
+    os.makedirs(pjoin(root, "calibration", "mano_subject-01"), exist_ok=True)
+    with open(pjoin(root, "calibration", "mano_subject-01", "mano.yml"), "w") as f:
+        yaml.safe_dump({"betas": (np.arange(10) * 0.01).tolist()}, f)
+    os.makedirs(pjoin(root, "splits"), exist_ok=True)
+    np.save(pjoin(root, "splits", "test_bowl.npy"),
+            {seq: ["%06d.jpg" % i for i in range(n_frames)]})
+    return seq
+
+
+@pytest.fixture(scope="module")
+def dexycb_env(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dexycb_root"))
+    mano = synthetic_mano_model()
+    seq = _make_dexycb_tree(root, mano)
+    cfg = {"data_cfg": {"basepath": root, "dataset_name": "DexYCB"},
+           "num_points": 64, "obj_category": ["bowl"]}
+    return cfg, mano, root, seq
+
+
+def test_dexycb_reader_geometry(dexycb_env):
+    from hotrack_tpu.data.dexycb import DexYCBDataset, pca_pose_to_axisangle
+
+    cfg, mano, root, seq = dexycb_env
+    ds = DexYCBDataset(cfg, "test")
+    assert len(ds) == 3 and ds.seq_start == [0]
+
+    frame, meta = ds[0]
+    assert bool(frame.valid) and meta["category"] == "024_bowl"
+    # stride-2 back-projection of the labeled blobs, radius filters pass
+    hand = frame.hand_points[frame.hand_valid]
+    want_hand = _blob_cloud(HAND_BLOB, stride=2, quant=1e-3)
+    assert hand.shape[0] == min(len(want_hand), 5 * cfg["num_points"])
+    d = np.abs(hand[:, None] - want_hand[None]).sum(-1).min(1)
+    assert d.max() < 1e-6
+    # obj cloud is radius-filtered around pose_y translation at scale/2=0.5
+    want_obj = _blob_cloud(OBJ_BLOB, stride=2, quant=1e-3)
+    assert frame.obj_valid.sum() == min(len(want_obj), 5 * cfg["num_points"])
+
+    # PCA -> axis-angle conversion with the rig's true components
+    anno = np.load(pjoin(root, seq.replace("+", "/"), "labels_000000.npz"))
+    pose_m = anno["pose_m"][0]
+    want_pose = pca_pose_to_axisangle(mano, pose_m[:48])
+    np.testing.assert_allclose(frame.mano_pose, want_pose, atol=1e-6)
+    np.testing.assert_allclose(
+        frame.mano_pose[3:],
+        np.asarray(mano.hands_mean) + pose_m[3:48] @ np.asarray(mano.hands_components),
+        atol=1e-5)
+    np.testing.assert_allclose(frame.mano_beta, np.arange(10) * 0.01, atol=1e-6)
+    np.testing.assert_allclose(frame.obj_translation[:, 0],
+                               anno["pose_y"][1][:, 3], atol=1e-6)
+
+
+def test_dexycb_blacklist_and_sequence(dexycb_env, tmp_path):
+    """Blacklisted sequences are dropped; SequenceData drives prepare_batch."""
+    from hotrack_tpu.data import SequenceData, prepare_batch
+    from hotrack_tpu.data.dexycb import INVALID_SEQUENCES, DexYCBDataset
+
+    cfg, mano, root, seq = dexycb_env
+    # add a blacklisted sequence to the split: it must be skipped entirely
+    bad = "20200820-subject-03+20200820_143206+839512060362"
+    assert bad in INVALID_SEQUENCES
+    split = {seq: ["%06d.jpg" % i for i in range(3)], bad: ["000000.jpg"]}
+    np.save(pjoin(root, "splits", "test_bowl.npy"), split)
+    ds = DexYCBDataset(cfg, "test")
+    assert len(ds) == 3
+
+    raw, metas = SequenceData(ds)[0]
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(0), 64, template_with_theta=True)
+    assert batch["hand_points"].shape == (3, 64, 3)
+    assert bool(jnp.all(jnp.isfinite(batch["gt_hand_kp"])))
+
+
+def test_dexycb_bad_frame_repair(dexycb_env):
+    """Pinned deviation from the reference: a corrupt frame yields an invalid
+    RawFrame repaired by SequenceData with the nearest LATER good frame
+    (dataset.py:86-99 semantics), instead of the reference DexYCB loader's
+    retry-of-the-NEXT-INDEX inside __getitem__ (DexYCB_dataset.py:287-297).
+    Both fill the slot with a neighboring frame; the repair path keeps the
+    reader exception-free and the sequence length static."""
+    from hotrack_tpu.data import SequenceData
+    from hotrack_tpu.data.dexycb import DexYCBDataset
+
+    cfg, _, root, seq = dexycb_env
+    seq_dir = pjoin(root, seq.replace("+", "/"))
+    npz1 = pjoin(seq_dir, "labels_000001.npz")
+    good = open(npz1, "rb").read()
+    try:
+        with open(npz1, "wb") as f:
+            f.write(b"corrupt")
+        ds = DexYCBDataset(cfg, "test")
+        frame1, _ = ds[1]
+        assert not bool(frame1.valid)
+
+        raw, _ = SequenceData(ds)[0]
+        assert raw.hand_points.shape[0] == 3
+        # slot 1 repaired with frame 2 (nearest later good frame)
+        np.testing.assert_array_equal(raw.hand_points[1], raw.hand_points[2])
+        np.testing.assert_array_equal(raw.mano_pose[1], raw.mano_pose[2])
+    finally:
+        with open(npz1, "wb") as f:
+            f.write(good)
