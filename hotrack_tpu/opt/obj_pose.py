@@ -77,10 +77,11 @@ def optimize_obj_pose(
         # the reference's (x - t^T) R with the 3-axis kept off the TPU-lane-
         # padded minor position (see sdf/distill.eval_distilled_sdf_cf).
         if distilled is not None:
-            from ..sdf.distill import eval_distilled_sdf_cf
+            from ..sdf.distill import eval_distilled_sdf_cf, sdf_compute_dtype
             flat_cf = jnp.matmul(jnp.swapaxes(new_r, -1, -2),
                                  pcld_t[None] - new_t)   # (P, 3, N)
-            sdf = eval_distilled_sdf_cf(distilled, flat_cf)
+            sdf = eval_distilled_sdf_cf(distilled, flat_cf,
+                                        compute_dtype=sdf_compute_dtype())
         else:
             # bbox_min derived from the grid (== the reference's -0.2 at the
             # 201^3 @ 2mm operating point, optimization_obj.py:186-188)

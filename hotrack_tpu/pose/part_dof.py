@@ -66,3 +66,28 @@ def compute_parts_delta_pose(init: dict, final: dict, canon: dict) -> dict:
     t = jnp.where(jnp.max(jnp.abs(t_0 - t_c)) > 1e-7, t - correction, t)
     t_delta = jnp.matmul(jnp.swapaxes(r_c, -1, -2), t) / s_c[..., None, None]
     return {"scale": s_delta, "rotation": r_delta, "translation": t_delta}
+
+
+def convert_pred_rtvec_to_matrix(pred: jnp.ndarray, sym: bool,
+                                 rotation_kind: str) -> jnp.ndarray:
+    """Raw network rotation head -> rotation matrices
+    (part_dof_utils.py:157-165): symmetric parts regress a 3-d axis
+    (compute_rotation_matrix_from_3d); otherwise a 6-d Gram-Schmidt or a 9-d
+    SVD-orthogonalized parameterization. pred (..., D) -> (..., 3, 3)."""
+    from .rotations import (
+        compute_rotation_matrix_from_3d,
+        compute_rotation_matrix_from_9d,
+        compute_rotation_matrix_from_ortho6d,
+    )
+
+    lead = pred.shape[:-1]
+    if sym:
+        return compute_rotation_matrix_from_3d(pred.reshape(-1, pred.shape[-1])
+                                               ).reshape(lead + (3, 3))
+    if rotation_kind == "6d":
+        return compute_rotation_matrix_from_ortho6d(pred.reshape(-1, 6)
+                                                    ).reshape(lead + (3, 3))
+    if rotation_kind == "9d":
+        return compute_rotation_matrix_from_9d(pred.reshape(-1, 3, 3)
+                                               ).reshape(lead + (3, 3))
+    raise NotImplementedError(rotation_kind)

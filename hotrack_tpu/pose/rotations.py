@@ -169,6 +169,64 @@ def compute_rotation_matrix_from_ortho6d(poses: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z], axis=-1)
 
 
+def rotvec_to_euler(rotvec: jnp.ndarray) -> jnp.ndarray:
+    """Rotation vector -> (heading, attitude, bank) euler angles
+    (rotations.py:184-216, euclideanspace.com angle->euler recipe with the
+    +/-0.998 gimbal-lock branches)."""
+    axis, theta = rotvec_to_axis_theta(rotvec)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    t = 1.0 - c
+    lock = x * y * t + z * s
+
+    heading_l = 2.0 * jnp.arctan2(x * jnp.sin(theta / 2.0),
+                                  jnp.cos(theta / 2.0))
+    half_pi = jnp.full_like(heading_l, jnp.pi / 2.0)
+    zero = jnp.zeros_like(heading_l)
+    euler_n = jnp.stack([heading_l, half_pi, zero], axis=-1)
+    euler_s = jnp.stack([-heading_l, -half_pi, zero], axis=-1)
+
+    heading = jnp.arctan2(y * s - x * z * t, 1.0 - (y * y + z * z) * t)
+    attitude = jnp.arcsin(jnp.clip(lock, -1.0, 1.0))
+    bank = jnp.arctan2(x * s - y * z * t, 1.0 - (x * x + z * z) * t)
+    euler = jnp.stack([heading, attitude, bank], axis=-1)
+
+    mask_n = (lock > 0.998)[..., None]
+    mask_s = (lock < -0.998)[..., None]
+    return jnp.where(mask_n, euler_n, jnp.where(mask_s, euler_s, euler))
+
+
+def euler_to_rotvec(euler: jnp.ndarray) -> jnp.ndarray:
+    """(heading, attitude, bank) euler angles -> rotation vector
+    (rotations.py:218-243)."""
+    heading, attitude, bank = euler[..., 0], euler[..., 1], euler[..., 2]
+    c1, s1 = jnp.cos(heading / 2.0), jnp.sin(heading / 2.0)
+    c2, s2 = jnp.cos(attitude / 2.0), jnp.sin(attitude / 2.0)
+    c3, s3 = jnp.cos(bank / 2.0), jnp.sin(bank / 2.0)
+    w = c1 * c2 * c3 - s1 * s2 * s3
+    xyz = jnp.stack([c1 * c2 * s3 + s1 * s2 * c3,
+                     s1 * c2 * c3 + c1 * s2 * s3,
+                     c1 * s2 * c3 - s1 * c2 * s3], axis=-1)
+    angle = 2.0 * jnp.arccos(jnp.clip(w, -1.0, 1.0))
+    norm = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    degenerate = (norm < 1e-8).astype(euler.dtype)
+    axis = xyz / jnp.maximum(norm, degenerate)
+    unit_x = jnp.zeros_like(axis).at[..., 0].set(1.0)
+    axis = degenerate * unit_x + (1.0 - degenerate) * axis
+    return axis * angle[..., None]
+
+
+def compute_rotation_matrix_from_3d(vec: jnp.ndarray) -> jnp.ndarray:
+    """(.., 3) direction -> (.., 3, 3) with the normalized vector as the
+    middle column (y axis), completed by x=[1,0,0] cross products
+    (rotations.py:423-435) — the rotation head for axially symmetric parts."""
+    y = normalize_vector(vec)
+    x_raw = jnp.zeros_like(y).at[..., 0].set(1.0)
+    z = normalize_vector(jnp.cross(x_raw, y))
+    x = jnp.cross(y, z)
+    return jnp.stack([x, y, z], axis=-1)
+
+
 def compute_rotation_matrix_from_9d(m: jnp.ndarray) -> jnp.ndarray:
     """Symmetric orthogonalization of (.., 3, 3) onto SO(3) via SVD
     (rotations.py:402-420 — batched XLA SVD, no CPU detour, grads are fine)."""

@@ -74,6 +74,15 @@ def _raw_sdf(model: DistilledSDF, points: jnp.ndarray,
     return h[..., 0].astype(jnp.float32)
 
 
+def sdf_compute_dtype():
+    """Optimizer-energy SDF matmul dtype: HOTRACK_SDF_BF16=1 -> bf16 inputs
+    with f32 accumulation (2x the MXU rate; adds ~sub-voxel error to the
+    distilled SDF — the energies already treat it as an approximation).
+    Default None = f32."""
+    import os
+    return jnp.bfloat16 if os.environ.get("HOTRACK_SDF_BF16") else None
+
+
 def eval_distilled_sdf(model: DistilledSDF, points: jnp.ndarray,
                        compute_dtype=None) -> jnp.ndarray:
     """points (..., 3) -> clamped sdf (...,).

@@ -262,7 +262,8 @@ def track_hand_sequence(
 
 
 def track_hand_sequences_sharded(handnet, variables, mano_model,
-                                 stacked_frames, devices=None, **kwargs):
+                                 stacked_frames, devices=None,
+                                 per_seq_kwargs=None, **kwargs):
     """Multi-chip tracking eval: vmap equal-length sequences and shard the
     sequence axis over a 1-D device mesh.
 
@@ -271,9 +272,13 @@ def track_hand_sequences_sharded(handnet, variables, mano_model,
     `NamedSharding(P("seq"))` on every leading-S input — XLA partitions the
     vmapped scan with zero collectives (params replicated, no cross-sequence
     state). `stacked_frames` is the per-sequence `frames` pytree stacked on a
-    leading S axis; S must divide by the device count. kwargs pass through to
-    `track_hand_sequence` (batched per-sequence extras like shape_particles
-    stay replicated unless they carry a leading S axis themselves).
+    leading S axis; S must divide by the device count.
+
+    `kwargs` pass through to `track_hand_sequence` as REPLICATED constants
+    (they are closed over, never mapped). Per-sequence extras that carry a
+    leading S axis (e.g. per-sequence SDF volumes or masks) go in
+    `per_seq_kwargs` — those are sharded on the sequence axis and mapped
+    through vmap, so each sequence sees its own slice.
     """
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -285,6 +290,11 @@ def track_hand_sequences_sharded(handnet, variables, mano_model,
     stacked_frames = jax.device_put(stacked_frames, seq)
     variables = jax.device_put(variables, repl)
 
-    fn = jax.jit(jax.vmap(lambda b: track_hand_sequence(
-        handnet, variables, mano_model, b, **kwargs)))
-    return fn(stacked_frames)
+    per_seq_kwargs = dict(per_seq_kwargs or {})
+    names = sorted(per_seq_kwargs)
+    vals = [jax.device_put(per_seq_kwargs[k], seq) for k in names]
+
+    fn = jax.jit(jax.vmap(lambda b, *vs: track_hand_sequence(
+        handnet, variables, mano_model, b,
+        **dict(zip(names, vs)), **kwargs)))
+    return fn(stacked_frames, *vals)

@@ -110,6 +110,9 @@ def train_main(argv=None):
 
     train_loader = get_dataloader(cfg, "train")
     test_loader = get_dataloader(cfg, "test", shuffle=False)
+    # iterations per epoch, consumed by the CyclicLR step size
+    # (reference trainer.py:54, dataset_len argument)
+    cfg["dataset_len"] = len(train_loader)
     trainer = Trainer(cfg)
 
     # init from one example batch

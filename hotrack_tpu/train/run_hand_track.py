@@ -230,9 +230,14 @@ def _run_batched(cfg, save_flag, loader, mano, key, hj, handnet_tr, iknet_tr,
                          for metas in metas_list]
                 mh = max(m.shape[1] for m in masks)
                 mw = max(m.shape[2] for m in masks)
+                # edge-replicated padding: the optimizer clips projections to
+                # the PADDED dims, so vertices past a smaller mask's true
+                # boundary must read the edge-clamped pixel (what the
+                # unbatched path's clipping produces), not padded zeros
                 masks = jnp.stack([
                     np.pad(m, ((0, 0), (0, mh - m.shape[1]),
-                               (0, mw - m.shape[2]))) for m in masks])
+                               (0, mw - m.shape[2])), mode="edge")
+                    for m in masks])
                 if use_distill:
                     from ..sdf.distill import distill_sdf_volume
                     models = []

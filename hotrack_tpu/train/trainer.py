@@ -50,11 +50,22 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: dict, epoch):
-    """Step decay + warm-up + floor (trainer.py:42-63, 167-178)."""
+    """Step decay / CyclicLR + warm-up + floor (trainer.py:42-63, 167-178)."""
     base = cfg["learning_rate"]
-    if cfg.get("lr_policy", "constant") == "step":
+    policy = cfg.get("lr_policy", "constant")
+    if policy == "step":
         lr = base * cfg["lr_gamma"] ** (epoch // cfg["lr_step_size"])
         lr = jnp.maximum(lr, cfg.get("lr_clip", 0.0))
+    elif policy == "CyclicLR":
+        # triangular cycle, stepped once per epoch like the reference's
+        # step_epoch (trainer.py:53-61, 167-175): step_size_up =
+        # total_epoch * dataset_len // 6 at base 5e-5 / max 5e-4
+        base_lr = cfg.get("cyclic_base_lr", 5e-5)
+        max_lr = cfg.get("cyclic_max_lr", 5e-4)
+        step = max((cfg["total_epoch"] * cfg.get("dataset_len", 1)) // 6, 1)
+        cycle = jnp.floor(1.0 + epoch / (2.0 * step))
+        pos = jnp.abs(epoch / step - 2.0 * cycle + 1.0)
+        lr = base_lr + (max_lr - base_lr) * jnp.clip(1.0 - pos, min=0.0)
     else:
         lr = jnp.asarray(base)
     warm = cfg.get("warm_up", 0)
@@ -116,9 +127,12 @@ class Trainer:
                 backbone_out_dim=cfg["network"]["backbone_out_dim"],
                 handframe=cfg["network"]["handframe"],
                 use_attention=cfg["network"].get("use_attention", False),
-                compute_dtype=cfg["network"].get("compute_dtype"))
+                compute_dtype=cfg["network"].get("compute_dtype"),
+                procrustes_solver=cfg["network"].get("procrustes_solver"))
         elif self.network_type == "iknet":
-            self.model = IKNet(iknetframe=cfg["network"].get("iknetframe", "kp"))
+            self.model = IKNet(
+                iknetframe=cfg["network"].get("iknetframe", "kp"),
+                procrustes_solver=cfg["network"].get("procrustes_solver"))
         else:
             raise NotImplementedError(self.network_type)
 

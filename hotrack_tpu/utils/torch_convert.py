@@ -187,11 +187,19 @@ def split_prefixed(sd: dict, prefix: str) -> dict:
     return {k[plen:]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def load_reference_checkpoint(path: str, net_cfg: dict, d_model: int = 384):
-    """Load a reference .pt checkpoint and return flax variable dicts:
+def load_reference_checkpoint(path_or_ckpt, net_cfg: dict, d_model: int = 384):
+    """Load a reference .pt checkpoint (path, or an already-loaded checkpoint
+    dict) and return flax variable dicts:
     {'handnet': {'params', 'batch_stats'}, 'iknet': {...} (if present)}."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu")
+    if isinstance(path_or_ckpt, str):
+        import torch
+        try:
+            ckpt = torch.load(path_or_ckpt, map_location="cpu",
+                              weights_only=True)
+        except TypeError:
+            ckpt = torch.load(path_or_ckpt, map_location="cpu")
+    else:
+        ckpt = path_or_ckpt
     sd = ckpt.get("model", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 

@@ -1,0 +1,135 @@
+"""Multi-chip training semantics on the virtual 8-device mesh.
+
+A dp-sharded HandTrackNet training step must agree with single-device
+training at the same global batch: GSPMD over the batch axis is a pure
+partitioning of the same program (BatchNorm and the loss reduce over the
+global batch either way), so loss AND gradients at identical params match to
+f32 reduction-reorder tolerance. Full multi-step trajectories do NOT stay
+bitwise-locked — the cross-device partial-sum order perturbs gradients at
+~1e-6 relative and Adam's second-moment rescaling amplifies that chaotically
+(measured ~6% loss difference after 5 steps from a 4e-6 step-0 difference) —
+so the loop-level assertion is convergence equivalence, not bit equality.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hotrack_tpu.models import HandTrackNet, hand_tracknet_loss
+from hotrack_tpu.models.hand_utils import handkp2palmkp
+
+NET_CFG = {
+    "sa1": {"npoint": 32, "radius_list": [0.1], "nsample_list": [8],
+            "mlp_list": [[16, 16, 32]]},
+    "sa2": {"npoint": 16, "radius_list": [0.2], "nsample_list": [8],
+            "mlp_list": [[32, 32, 64]]},
+    "sa3": {"mlp": [64, 64, 96]},
+    "fp3": {"mlp": [64, 64]},
+    "fp2": {"mlp": [64, 64]},
+    "fp1": {"mlp": [64, 64]},
+}
+
+
+def _freeze(d):
+    from hotrack_tpu.train.trainer import _freeze
+    return _freeze(d)
+
+
+def _make_step(model, opt):
+    def train_step(params, batch_stats, opt_state, points, kp, palm, gt_kp):
+        def loss_fn(p):
+            ret, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                points, kp, palm, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            loss, _ = hand_tracknet_loss(ret, gt_kp, gt_palm_template=palm)
+            total = (10.0 * loss["hand_pred_kp_loss"]
+                     + loss["hand_pred_r_loss"] + loss["hand_pred_t_loss"])
+            return total, mutated["batch_stats"]
+
+        (total, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, total
+
+    return jax.jit(train_step)
+
+
+def test_dp_training_matches_single_device():
+    assert jax.device_count() >= 8
+
+    model = HandTrackNet(net_cfg=_freeze(NET_CFG), backbone_out_dim=48,
+                         handframe="kp")
+    rng = np.random.RandomState(0)
+    batch = 16
+    points = jnp.asarray(rng.randn(batch, 96, 3).astype(np.float32) * 0.05)
+    gt_kp = jnp.asarray(rng.randn(batch, 21, 3).astype(np.float32) * 0.04)
+    kp = gt_kp + jnp.asarray(rng.randn(batch, 21, 3).astype(np.float32) * 0.01)
+    palm = handkp2palmkp(gt_kp)
+
+    variables = model.init(jax.random.PRNGKey(0), points[:1], kp[:1], palm[:1])
+    opt = optax.adam(1e-3)
+    step = _make_step(model, opt)
+
+    def run(shard: bool, n_steps: int = 5):
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        opt_state = opt.init(params)
+        pts, k, pl_, g = points, kp, palm, gt_kp
+        if shard:
+            mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+            repl = NamedSharding(mesh, P())
+            dp = NamedSharding(mesh, P("dp"))
+            params, batch_stats, opt_state = jax.device_put(
+                (params, batch_stats, opt_state), repl)
+            pts, k, pl_, g = (jax.device_put(x, dp) for x in (pts, k, pl_, g))
+        losses = []
+        for _ in range(n_steps):
+            params, batch_stats, opt_state, total = step(
+                params, batch_stats, opt_state, pts, k, pl_, g)
+            losses.append(float(total))
+        return params, losses
+
+    # ---- step-level agreement: loss + grads at identical params ----
+    def loss_and_grads(shard: bool):
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        pts, k, pl_, g = points, kp, palm, gt_kp
+        if shard:
+            mesh = Mesh(np.asarray(jax.devices()[:8]), ("dp",))
+            repl = NamedSharding(mesh, P())
+            dp = NamedSharding(mesh, P("dp"))
+            params, batch_stats = jax.device_put((params, batch_stats), repl)
+            pts, k, pl_, g = (jax.device_put(x, dp) for x in (pts, k, pl_, g))
+
+        def loss_fn(p):
+            ret, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                pts, k, pl_, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            ld, _ = hand_tracknet_loss(ret, g, gt_palm_template=pl_)
+            return (10.0 * ld["hand_pred_kp_loss"]
+                    + ld["hand_pred_r_loss"] + ld["hand_pred_t_loss"])
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    l0_single, g_single = loss_and_grads(shard=False)
+    l0_shard, g_shard = loss_and_grads(shard=True)
+    np.testing.assert_allclose(float(l0_shard), float(l0_single), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_shard)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-3)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4 * scale)
+
+    # ---- loop-level: both converge equivalently (see module docstring
+    # for why bit-lock across steps is not achievable with Adam + BN) ----
+    p_single, l_single = run(shard=False)
+    p_shard, l_shard = run(shard=True)
+    assert all(np.isfinite(l_single)) and l_single[-1] < 0.5 * l_single[0]
+    assert all(np.isfinite(l_shard)) and l_shard[-1] < 0.5 * l_shard[0]
+    np.testing.assert_allclose(l_shard, l_single, rtol=0.15)

@@ -528,3 +528,74 @@ def test_hand_pose_opt_trajectory_parity(mano_root, tmp_path):
     np.testing.assert_allclose(np.asarray(got_theta), _np(ref_theta), atol=2e-3)
     err = np.abs(np.asarray(got_kp) - _np(ref_kp)).max()
     assert err < 1e-4, f"hand-opt final kp max |diff| {err:.2e} >= 0.1 mm"
+
+
+# ---------------------------------------------------------------- rotations
+
+def test_rotation_zoo_parity():
+    """Euler conversions (rotations.py:184-243), compute_rotation_matrix_
+    from_3d (:423-435), and convert_pred_rtvec_to_matrix
+    (part_dof_utils.py:157-165) vs the reference's own functions."""
+    rr = reference_module("pose_utils.rotations")
+    rp = reference_module("pose_utils.part_dof_utils")
+    from hotrack_tpu.pose.part_dof import convert_pred_rtvec_to_matrix
+    from hotrack_tpu.pose.rotations import (
+        compute_rotation_matrix_from_3d,
+        euler_to_rotvec,
+        rotvec_to_euler,
+        rotvec_to_matrix,
+    )
+
+    rng = np.random.RandomState(14)
+    rotvec = (rng.randn(32, 3) * 1.2).astype(np.float32)
+    # include gimbal-lock-adjacent cases (attitude near +/- pi/2)
+    rotvec[0] = [0.0, 0.0, np.pi / 2 - 1e-4]
+    rotvec[1] = [0.0, 0.0, -(np.pi / 2 - 1e-4)]
+
+    ref_euler = _np(rr.rotvec_to_euler(torch.tensor(rotvec)))
+    got_euler = np.asarray(rotvec_to_euler(jnp.asarray(rotvec)))
+    np.testing.assert_allclose(got_euler, ref_euler, atol=1e-5)
+
+    ref_back = _np(rr.euler_to_rotvec(torch.tensor(ref_euler)))
+    got_back = np.asarray(euler_to_rotvec(jnp.asarray(ref_euler)))
+    np.testing.assert_allclose(got_back, ref_back, atol=1e-5)
+    # round trip reproduces the rotation (not necessarily the same vector)
+    r0 = np.asarray(rotvec_to_matrix(jnp.asarray(rotvec)))
+    r1 = np.asarray(rotvec_to_matrix(jnp.asarray(got_back)))
+    np.testing.assert_allclose(r1, r0, atol=1e-4)
+
+    vec = rng.randn(16, 3).astype(np.float32)
+    ref_m = _np(rr.compute_rotation_matrix_from_3d(torch.tensor(vec)))
+    got_m = np.asarray(compute_rotation_matrix_from_3d(jnp.asarray(vec)))
+    np.testing.assert_allclose(got_m, ref_m, atol=1e-5)
+
+    # convert_pred_rtvec_to_matrix: sym (3d), 6d, 9d branches
+    for sym, kind, dim in ((True, "6d", 3), (False, "6d", 6), (False, "9d", 9)):
+        pred = rng.randn(4, 5, dim).astype(np.float32)
+        ref_out = _np(rp.convert_pred_rtvec_to_matrix(
+            torch.tensor(pred), sym, kind))
+        got_out = np.asarray(convert_pred_rtvec_to_matrix(
+            jnp.asarray(pred), sym, kind))
+        np.testing.assert_allclose(got_out, ref_out, atol=1e-5,
+                                   err_msg=f"sym={sym} kind={kind}")
+
+
+def test_cyclic_lr_parity():
+    """CyclicLR schedule vs torch's scheduler stepped once per epoch, the
+    reference's step_epoch behavior (trainer.py:53-61, 167-175)."""
+    from hotrack_tpu.train.trainer import lr_schedule
+
+    cfg = {"learning_rate": 1e-3, "lr_policy": "CyclicLR",
+           "total_epoch": 12, "dataset_len": 4}
+    step = (12 * 4) // 6  # 8
+
+    t_opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    t_sched = torch.optim.lr_scheduler.CyclicLR(
+        t_opt, base_lr=5e-5, max_lr=5e-4, cycle_momentum=False,
+        step_size_up=step, mode="triangular")
+    for epoch in range(30):
+        want = t_sched.get_last_lr()[0]
+        got = float(lr_schedule(cfg, jnp.asarray(epoch)))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg=f"epoch {epoch}")
+        t_sched.step()
