@@ -39,7 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mask_lookup import BITS
 
-TILE = 2048
+import os as _os
+
+# point-tile width: 2048 keeps the (H, T) silhouette one-hot + MLP
+# activations comfortably in VMEM; HOTRACK_ENERGY_TILE overrides for tuning
+TILE = int(_os.environ.get("HOTRACK_ENERGY_TILE", 2048))
 
 
 def _round_up(x: int, m: int) -> int:
