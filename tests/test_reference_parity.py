@@ -599,3 +599,204 @@ def test_cyclic_lr_parity():
         np.testing.assert_allclose(got, want, rtol=1e-6,
                                    err_msg=f"epoch {epoch}")
         t_sched.step()
+
+
+def test_handtracknet_loss_parity(exact_procrustes):
+    """hand_tracknet_loss vs the reference's compute_loss
+    (hand_network.py:159-221) on the same forward outputs (converted
+    weights, identical inputs): all shared loss/diagnostic keys."""
+    hn = reference_module("hand_network")
+    from hotrack_tpu.models import HandTrackNet
+    from hotrack_tpu.models.hand_network import hand_tracknet_loss
+    from hotrack_tpu.utils.torch_convert import convert_handtracknet
+
+    net_cfg = _pointnet_cfg()
+    cfg = {"device": "cpu",
+           "network": {"handframe": "kp", "backbone_out_dim": 384},
+           "pointnet": {"camera": net_cfg}}
+    torch.manual_seed(2)
+    ref = hn.HandTrackNet(cfg).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, stats = convert_handtracknet(sd, net_cfg, d_model=384)
+
+    rng = np.random.RandomState(15)
+    b, n = 2, 256
+    pts = (rng.randn(b, n, 3) * 0.06).astype(np.float32)
+    kp = (rng.randn(b, 21, 3) * 0.04).astype(np.float32)
+    gt_kp = kp + (rng.randn(b, 21, 3) * 0.01).astype(np.float32)
+    palm = (rng.randn(b, 6, 3) * 0.04).astype(np.float32)
+
+    inp = {"jittered_hand_kp": torch.tensor(kp),
+           "hand_points": torch.tensor(pts),
+           "gt_hand_kp": torch.tensor(gt_kp),
+           "gt_hand_pose": {"palm_template": torch.tensor(palm)}}
+    flags = {"track_flag": False, "IKNet_flag": False}
+    with torch.no_grad(), seed0_fps():
+        ref_ret = ref(inp, flags)
+        ref_loss, _ = ref.compute_loss(inp, ref_ret, flags)
+
+    mine = HandTrackNet(net_cfg=net_cfg, backbone_out_dim=384, handframe="kp")
+    got = mine.apply({"params": params, "batch_stats": stats},
+                     jnp.asarray(pts), jnp.asarray(kp), jnp.asarray(palm),
+                     train=False)
+    got_loss, _ = hand_tracknet_loss(got, jnp.asarray(gt_kp),
+                                     gt_palm_template=jnp.asarray(palm))
+
+    for key, tol in (("hand_pred_kp_loss", 1e-5), ("hand_pred_kp_diff", 1e-5),
+                     ("hand_init_kp_diff", 1e-5), ("hand_pred_r_loss", 1e-4),
+                     ("hand_pred_t_loss", 1e-5), ("hand_pred_r_diff", 5e-2),
+                     ("hand_pred_t_diff", 1e-5)):
+        want = float(ref_loss[key])
+        have = float(got_loss[key])
+        assert abs(want - have) < tol, (key, want, have)
+
+
+def test_obb_frame_parity():
+    """obb_frame vs the reference's OBB (data_utils.py:169-202): same scale
+    and the same canonicalized cloud up to per-axis eigenvector sign (eig vs
+    eigh order the spectrum differently and eigenvector signs are arbitrary;
+    no shipped config uses handframe='OBB', and a sign flip is an equally
+    valid OBB frame)."""
+    du = reference_module("data_utils")
+    from hotrack_tpu.models.hand_utils import canonicalize, obb_frame
+
+    rng = np.random.RandomState(16)
+    # anisotropic cloud so the PCA axes are unambiguous
+    x = (rng.randn(256, 3) * np.array([0.09, 0.04, 0.015])).astype(np.float32)
+    x = x @ np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    x = x + np.array([0.05, -0.02, 0.4], np.float32)
+
+    ref_obb_x, ref_rec = du.OBB(x.copy())
+    pose = obb_frame(jnp.asarray(x)[None])
+    got = np.asarray(canonicalize(jnp.asarray(x)[None], pose))[0]
+
+    np.testing.assert_allclose(float(pose.scale[0]), float(ref_rec["scale"]),
+                               rtol=1e-4)
+    # match axes up to sign
+    for axis in range(3):
+        a, b = got[:, axis], np.asarray(ref_obb_x)[:, axis]
+        err = min(np.abs(a - b).max(), np.abs(a + b).max())
+        assert err < 1e-4, (axis, err)
+
+
+def test_pose_math_parity():
+    """Symmetry-aware metrics, part eval, posed-bbox IoU, part fitting, and
+    the legacy loss surface vs the reference's own modules
+    (metrics.py, part_dof_utils.py, bbox_utils.py, pose_fit.py, loss.py)."""
+    rm = reference_module("pose_utils.metrics")
+    rp = reference_module("pose_utils.part_dof_utils")
+    rb = reference_module("pose_utils.bbox_utils")
+    rf = reference_module("pose_utils.pose_fit")
+    rl = reference_module("loss")
+    from hotrack_tpu.models.losses import compute_focal_loss, compute_miou_loss
+    from hotrack_tpu.pose import bbox as mb
+    from hotrack_tpu.pose import metrics as mm
+    from hotrack_tpu.pose import part_dof as mp
+    from hotrack_tpu.pose import pose_fit as mf
+
+    rng = np.random.RandomState(17)
+
+    def rand_rots(*shape):
+        q = rng.randn(*shape, 4)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        return np.stack([
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ], -2).astype(np.float32)
+
+    # ---- symmetry-aware rotation metrics (metrics.py:6-136) ----
+    r1, r2 = rand_rots(6), rand_rots(6)
+    for axis in (-1, 0, 1, 2, 3):
+        for sym in (False, True):
+            want = _np(rm.rot_diff_rad(torch.tensor(r1), torch.tensor(r2),
+                                       axis=axis, up_and_down_sym=sym))
+            got = np.asarray(mm.rot_diff_rad(jnp.asarray(r1), jnp.asarray(r2),
+                                             axis=axis, up_and_down_sym=sym))
+            np.testing.assert_allclose(got, want, atol=1e-4,
+                                       err_msg=f"axis={axis} sym={sym}")
+
+    # ---- eval_part_full (part_dof_utils.py:54-78) ----
+    b, p = 4, 1
+    gt = {"rotation": rand_rots(b, p), "scale": rng.rand(b, p).astype(np.float32),
+          "translation": (rng.randn(b, p, 3, 1) * 0.03).astype(np.float32)}
+    pred = {"rotation": rand_rots(b, p), "scale": rng.rand(b, p).astype(np.float32),
+            "translation": gt["translation"] + rng.randn(b, p, 3, 1).astype(np.float32) * 0.02}
+    want, _ = rp.eval_part_full({k: torch.tensor(v) for k, v in gt.items()},
+                                {k: torch.tensor(v) for k, v in pred.items()},
+                                axis=1)
+    got, _ = mp.eval_part_full(jax.tree.map(jnp.asarray, gt),
+                               jax.tree.map(jnp.asarray, pred), axis=1)
+    for key in want:
+        np.testing.assert_allclose(float(got[key]), float(want[key]),
+                                   atol=1e-4, err_msg=key)
+
+    # ---- posed-bbox IoU incl. 20-way yaw sweep (bbox_utils.py:147-185) ----
+    corners = np.sort(rng.randn(2, p, 2, 3).astype(np.float32) * 0.05, axis=2)
+    pcorners = corners + rng.randn(2, p, 2, 3).astype(np.float32) * 0.01
+    pose_g = {"rotation": rand_rots(2, p),
+              "scale": (rng.rand(2, p) + 0.5).astype(np.float32),
+              "translation": (rng.randn(2, p, 3, 1) * 0.05).astype(np.float32)}
+    pose_p = {"rotation": rand_rots(2, p),
+              "scale": pose_g["scale"],
+              "translation": pose_g["translation"]}
+    for sym in (False, True):
+        want = rb.eval_single_part_iou(
+            torch.tensor(corners), torch.tensor(pcorners),
+            {k: torch.tensor(v) for k, v in pose_g.items()},
+            {k: torch.tensor(v) for k, v in pose_p.items()},
+            separate=False, sym=sym)
+        got = mb.eval_single_part_iou(
+            jnp.asarray(corners), jnp.asarray(pcorners),
+            jax.tree.map(jnp.asarray, pose_g),
+            jax.tree.map(jnp.asarray, pose_p), sym=sym)
+        for key in ("iou", "gt_bbox_iou", "npcs_iou"):
+            # reference per-instance format: {part_idx: (B,) array}
+            want_arr = np.stack([np.asarray(want[key][pi])
+                                 for pi in range(p)], axis=1)
+            np.testing.assert_allclose(
+                np.asarray(got[key]), want_arr, atol=0.02,
+                err_msg=f"{key} sym={sym}")
+
+    # ---- part_fit_st_no_ransac (pose_fit.py:38-52) ----
+    n = 64
+    labels = rng.randint(0, 2, (2, n))
+    source = (rng.randn(2, n, 3) * 0.05).astype(np.float32)
+    rot = rand_rots(2, 2)
+    scale_true = (rng.rand(2, 2) + 0.5).astype(np.float32)
+    target = np.zeros_like(source)
+    for bi in range(2):
+        for pi in range(2):
+            m = labels[bi] == pi
+            target[bi, m] = (scale_true[bi, pi]
+                             * source[bi, m] @ rot[bi, pi].T + 0.02 * pi)
+    src_bp = np.broadcast_to(source[:, None], (2, 2, n, 3)).copy()
+    tgt_bp = np.broadcast_to(target[:, None], (2, 2, n, 3)).copy()
+    want_model, _ = rf.part_fit_st_no_ransac(
+        torch.tensor(labels), torch.tensor(src_bp), torch.tensor(tgt_bp),
+        torch.tensor(rot), {"num_parts": 2, "sym": False})
+    got_model = mf.part_fit_st_no_ransac(
+        jnp.asarray(labels), jnp.asarray(source), jnp.asarray(target),
+        jnp.asarray(rot), num_parts=2)
+    np.testing.assert_allclose(np.asarray(got_model["scale"]),
+                               _np(want_model["scale"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_model["translation"]),
+                               _np(want_model["translation"]), atol=1e-4)
+
+    # ---- legacy losses (loss.py:123-155) ----
+    pred_seg = rng.rand(2, 3, n).astype(np.float32)
+    seg_labels = rng.randint(0, 3, (2, n))
+    want = float(rl.compute_miou_loss(torch.tensor(pred_seg),
+                                      torch.tensor(seg_labels)))
+    # this package's miou takes channels-last (B, N, P) probabilities
+    got = float(compute_miou_loss(jnp.asarray(pred_seg.transpose(0, 2, 1)),
+                                  jnp.asarray(seg_labels)))
+    assert abs(want - got) < 1e-5
+
+    logits = rng.randn(2, n).astype(np.float32)
+    targets = rng.randint(0, 2, (2, n)).astype(np.float32)
+    want = float(rl.compute_focal_loss(torch.tensor(logits),
+                                       torch.tensor(targets)))
+    got = float(compute_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    assert abs(want - got) < 1e-5
