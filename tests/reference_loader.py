@@ -78,8 +78,27 @@ def _patch_torch_cuda():
 
 def _setup():
     _install_chumpy_stub()
-    for stub in ("open3d", "plyfile", "trimesh", "transforms3d"):
+    for stub in ("open3d", "plyfile", "trimesh"):
         _install_empty(stub)
+    if "transforms3d" not in sys.modules:
+        # data_utils.mat_from_rvec needs axangles.axangle2mat — standard
+        # Rodrigues, implemented here so the stub is behavior-complete
+        t3d = types.ModuleType("transforms3d")
+        ax = types.ModuleType("transforms3d.axangles")
+
+        def axangle2mat(axis, angle, is_normalized=False):
+            axis = np.asarray(axis, dtype=np.float64)
+            if not is_normalized:
+                n = np.linalg.norm(axis)
+                axis = axis / n if n > 1e-12 else np.array([1.0, 0.0, 0.0])
+            x, y, z = axis
+            k = np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+            return np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+
+        ax.axangle2mat = axangle2mat
+        t3d.axangles = ax
+        sys.modules["transforms3d"] = t3d
+        sys.modules["transforms3d.axangles"] = ax
     _install_empty("skimage")
     _install_empty("skimage.measure")
     sys.modules["skimage"].measure = sys.modules["skimage.measure"]

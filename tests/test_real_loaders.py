@@ -411,3 +411,72 @@ def test_dexycb_bad_frame_repair(dexycb_env):
     finally:
         with open(npz1, "wb") as f:
             f.write(good)
+
+
+def test_simgrasp_format_consumed_by_reference_loader(tmp_path):
+    """Format-compatibility both ways: the reference's own SimGrasp consumer
+    (generate_shapenet_data, SimGrasp_dataset.py:38-147) reads the synthetic
+    generator's npz files and produces the same annotations (gt kps, palm
+    template, poses) as this package's reader + device prepare_batch.
+    Clouds are not compared index-for-index: the reference's CPU FPS fallback
+    degrades to random sampling (data_utils.py:246-249)."""
+    import torch
+
+    from reference_loader import reference_module, write_fake_mano_pkl
+
+    from hotrack_tpu.data import prepare_batch, stack_frames
+    from hotrack_tpu.data.simgrasp import SimGraspDataset
+    from hotrack_tpu.data.synthetic import generate_simgrasp_dataset
+
+    mano = synthetic_mano_model()
+    root = str(tmp_path / "root")
+    generate_simgrasp_dataset(root, num_instances=2, num_frames=3,
+                              points_per_part=200, mano_model=mano)
+    mano_dir = str(tmp_path / "mano")
+    write_fake_mano_pkl(mano_dir, seed=0)
+
+    sg = reference_module("SimGrasp_dataset")
+    our_mano = reference_module("third_party.mano.our_mano")
+    ref_layer = our_mano.OurManoLayer(side="right", mano_root=mano_dir)
+
+    import glob
+    npz = sorted(glob.glob(os.path.join(
+        root, "SimGrasp", "preproc", "*", "seq", "*.npz")))
+    assert npz, "synthetic generator produced no npz files"
+
+    full = sg.generate_shapenet_data(
+        npz[0], "bottle_sim", 1, 64,
+        {"type": "normal", "s": 0.0, "t": 0.0, "r": 0.0},
+        {"rand_scale": 0.0, "rand_type": "normal"},
+        "cpu", "kp", ref_layer)
+    assert full is not None
+
+    from hotrack_tpu.config import get_config
+    os.environ["HOTRACK_DATA_ROOT"] = root
+    cfg = get_config({"config": "handtracknet_train_SimGrasp.yml",
+                      "num_points": 64}, save=False)
+    ds = SimGraspDataset(cfg, "train")
+    # find the reader index matching the same npz file
+    idx = next(i for i in range(len(ds))
+               if ds[i][1]["path"] == npz[0])
+    raw, meta = ds[idx]
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, stack_frames([raw])),
+                          jax.random.PRNGKey(0), 64)
+
+    np.testing.assert_allclose(np.asarray(batch["gt_hand_kp"][0]),
+                               np.asarray(full["gt_hand_kp"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_hand_pose"]["palm_template"][0]),
+        np.asarray(full["gt_hand_pose"]["palm_template"]), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_obj_pose"]["rotation"][0]),
+        np.asarray(full["gt_obj_pose"]["rotation"][0]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_obj_pose"]["translation"][0]),
+        np.asarray(full["gt_obj_pose"]["translation"][0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(raw.mano_beta),
+                               np.asarray(full["gt_hand_pose"]["mano_beta"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(batch["gt_hand_pose"]["rotation"][0]),
+        np.asarray(full["gt_hand_pose"]["rotation"]), atol=1e-5)
