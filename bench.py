@@ -193,8 +193,12 @@ def bench_handopt(mano):
                   background_mask=mask, intrinsics=intr, energy_weight=weights)
 
     def run(r, t, theta, last_kp):
+        # distilled= matches the TPU production default (run_hand_track.py
+        # sdf_query: distilled); omitting it silently times the gather-bound
+        # nearest-voxel path instead (~350 ms/frame, 6x the distilled path)
         return optimize_hand_pose(*args, r, t, theta, pred_kp, vis, last_kp,
-                                  jnp.asarray(1.0), **common)
+                                  jnp.asarray(1.0), distilled=distilled,
+                                  **common)
 
     def chained(reps):
         r, t, theta, last = r0, t0_, theta0, pred_kp
