@@ -140,6 +140,21 @@ class Trainer:
         self.state: TrainState | None = None
         self.checkpointer = ocp.StandardCheckpointer()
 
+        # data-parallel training over a device mesh: cfg dp_devices = N or
+        # "all" (CLI: --dp_devices 8). State is replicated, each batch is
+        # sharded along axis 0, and jit/GSPMD inserts the gradient/BN
+        # collectives — the train step itself is unchanged (the reference's
+        # DataParallel surface, train.py:31, realized TPU-style).
+        self.mesh = None
+        dp = cfg.get("dp_devices", 0)
+        if dp:
+            n = len(jax.devices()) if dp in ("all", -1) else int(dp)
+            assert len(jax.devices()) >= n, (
+                f"dp_devices={dp} but only {len(jax.devices())} devices")
+            if n > 1:
+                from jax.sharding import Mesh
+                self.mesh = Mesh(np.asarray(jax.devices()[:n]), ("dp",))
+
     # ------------------------------------------------------------- init
     def init_state(self, example_batch: dict, seed: int = 0) -> TrainState:
         key = jax.random.PRNGKey(seed)
@@ -151,6 +166,10 @@ class Trainer:
         opt_state = self.optimizer.init(params)
         self.state = TrainState(params, batch_stats, opt_state,
                                 jnp.asarray(0), jnp.asarray(0))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            self.state = jax.device_put(self.state, repl)
         return self.state
 
     def _init_variables(self, key, batch):
@@ -224,11 +243,29 @@ class Trainer:
         return loss_dict
 
     def update(self, batch: dict, rng) -> dict:
+        if self.mesh is not None:
+            batch = self._shard_batch(batch, strict=True)
         self.state, loss_dict = self._train_step(self.state, batch, rng)
         return loss_dict
 
     def test(self, batch: dict) -> dict:
+        if self.mesh is not None:
+            # eval batches may be ragged (drop_last=False); shard only the
+            # divisible ones — the rest run unsharded on the default device
+            batch = self._shard_batch(batch, strict=False)
         return self._eval_step(self.state, batch)
+
+    def _shard_batch(self, batch: dict, strict: bool):
+        from jax.sharding import NamedSharding, PartitionSpec
+        n = self.mesh.devices.size
+        sizes = {x.shape[0] for x in jax.tree.leaves(batch)}
+        if any(s % n for s in sizes):
+            assert not strict, (
+                f"dp_devices={n} needs batch_size divisible by it; got "
+                f"{sorted(sizes)} (set batch_size to a multiple of {n})")
+            return batch
+        dp = NamedSharding(self.mesh, PartitionSpec("dp"))
+        return jax.tree.map(lambda x: jax.device_put(x, dp), batch)
 
     def step_epoch(self):
         self.state = self.state._replace(epoch=self.state.epoch + 1)

@@ -133,3 +133,74 @@ def test_dp_training_matches_single_device():
     assert all(np.isfinite(l_single)) and l_single[-1] < 0.5 * l_single[0]
     assert all(np.isfinite(l_shard)) and l_shard[-1] < 0.5 * l_shard[0]
     np.testing.assert_allclose(l_shard, l_single, rtol=0.15)
+
+
+def test_trainer_dp_devices(tmp_path):
+    """The production Trainer's dp path (cfg dp_devices / --dp_devices N):
+    replicated state + dp-sharded batches must reproduce the unsharded
+    trainer's first-step losses at identical init, shard ragged-free eval
+    batches, reject indivisible train batches, and checkpoint/resume
+    through orbax with sharded arrays."""
+    import os
+
+    import pytest
+    from hotrack_tpu.config import get_config
+    from hotrack_tpu.data import get_dataloader, prepare_batch
+    from hotrack_tpu.data.synthetic import generate_simgrasp_dataset
+    from hotrack_tpu.mano import synthetic_mano_model
+    from hotrack_tpu.train import Trainer
+
+    assert jax.device_count() >= 8
+    mano = synthetic_mano_model()
+    root = tmp_path / "dp_root"
+    generate_simgrasp_dataset(str(root), num_instances=2, num_frames=12,
+                              points_per_part=400, mano_model=mano)
+    os.environ["HOTRACK_DATA_ROOT"] = str(root)
+
+    def make(dp):
+        cfg = get_config({"config": "handtracknet_train_SimGrasp.yml",
+                          "num_points": 64, "batch_size": 8,
+                          "network/backbone_out_dim": 48,
+                          "dp_devices": dp,
+                          "experiment_dir": str(tmp_path / f"exp_dp{dp}")},
+                         save=False)
+        cfg["pointnet"]["camera"] = NET_CFG
+        trainer = Trainer(cfg)
+        trainer.mano = mano
+        return cfg, trainer
+
+    cfg, trainer_dp = make(8)
+    assert trainer_dp.mesh is not None
+    _, trainer_1 = make(0)
+    assert trainer_1.mesh is None
+
+    loader = get_dataloader(cfg, "train")
+    raw, _ = next(iter(loader))
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(1), cfg["num_points"],
+                          hand_jitter_scale=0.02)
+
+    trainer_dp.init_state(batch, seed=0)
+    trainer_1.init_state(batch, seed=0)
+    l_dp = trainer_dp.update(batch, jax.random.PRNGKey(2))
+    l_1 = trainer_1.update(batch, jax.random.PRNGKey(2))
+    for k in l_1:
+        np.testing.assert_allclose(float(l_dp[k]), float(l_1[k]), rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
+
+    # eval with a ragged batch (7 % 8 != 0) falls back to unsharded
+    ragged = jax.tree.map(lambda x: x[:7], batch)
+    out = trainer_dp.test(ragged)
+    assert np.isfinite(float(out["hand_pred_kp_diff"]))
+
+    # train with an indivisible batch is an error, not silent misbehavior
+    with pytest.raises(AssertionError):
+        trainer_dp.update(ragged, jax.random.PRNGKey(3))
+
+    # checkpoints round-trip through orbax with sharded (replicated) arrays
+    trainer_dp.save(epoch=0)
+    p_before = jax.tree.leaves(trainer_dp.state.params)[0]
+    trainer_dp.state = trainer_dp.init_state(batch, seed=7)
+    assert trainer_dp.resume()
+    p_after = jax.tree.leaves(trainer_dp.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p_after), np.asarray(p_before))
