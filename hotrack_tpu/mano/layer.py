@@ -75,14 +75,8 @@ def shape_hand(model: ManoModel, betas: jnp.ndarray):
     return v_shaped, joints
 
 
-def _rt44(rot: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
-    """rot (..., 3, 3), t (..., 3) -> homogeneous (..., 4, 4)."""
-    top = jnp.concatenate([rot, t[..., :, None]], axis=-1)
-    bottom = jnp.zeros_like(top[..., :1, :]).at[..., 0, 3].set(1.0)
-    return jnp.concatenate([top, bottom], axis=-2)
-
-
-@partial(jax.jit, static_argnames=("original_version", "root_palm"))
+@partial(jax.jit, static_argnames=("original_version", "root_palm",
+                                   "channels_first"))
 def mano_forward(
     model: ManoModel,
     pose_coeffs: jnp.ndarray,
@@ -91,6 +85,7 @@ def mano_forward(
     shaped=None,
     original_version: bool = False,
     root_palm: bool = False,
+    channels_first: bool = False,
 ):
     """MANO LBS forward. pose_coeffs (B, 48) = 3 global + 45 joint axis-angle.
 
@@ -98,6 +93,13 @@ def mano_forward(
     `original_version` (our_mano.py:351-354). `shaped` short-circuits the
     shape blend with a precomputed `shape_hand` result; its batch dim may be 1
     (broadcast) or B.
+
+    `channels_first=True` returns verts as (3, B, 778) instead — the layout
+    the fused hand-energy Pallas kernel consumes as a flat (3, B*778) bitcast.
+    The transpose folds into the skinning dot's output indexing; emitting
+    (B, 778, 3) and transposing afterwards costs ~2 ms/iteration of pure
+    data-formatting (while-loop of row dynamic-update-slices) in the
+    5120-candidate optimizer program.
     """
     b = pose_coeffs.shape[0]
     rot_mats = mano_rodrigues(pose_coeffs.reshape(b, 16, 3))  # (B, 16, 3, 3)
@@ -118,28 +120,59 @@ def mano_forward(
 
     v_posed = v_shaped + jnp.einsum("vcp,bp->bvc", model.posedirs, pose_map)
 
-    # kinematic chain, base to tips, 3 levels of 5 fingers (our_mano.py:286-316)
+    # kinematic chain, base to tips, 3 levels of 5 fingers (our_mano.py:286-316).
+    # Composed as (R, t) pairs with broadcast-multiply-reduce instead of
+    # homogeneous 4x4 jnp.matmul: at (B, 5) batches of 3x3 the MXU path costs
+    # more in bf16-cast + layout copies than it computes (profiled ~1 ms/iter
+    # of pure copies in the 5120-candidate optimizer program); the elementwise
+    # form fuses on the VPU, in full f32.
+    def _compose(rp, tp, rl, tl):
+        r = jnp.sum(rp[..., :, :, None] * rl[..., None, :, :], axis=-2)
+        t = jnp.sum(rp * tl[..., None, :], axis=-1) + tp
+        return r, t
+
     root_j = joints[:, 0]
-    t_root = _rt44(root_rot, root_j)[:, None]  # (B, 1, 4, 4)
     lev1, lev2, lev3 = list(LEV1_IDXS), list(LEV2_IDXS), list(LEV3_IDXS)
-    t1 = jnp.matmul(t_root, _rt44(rot_mats[:, lev1], joints[:, lev1] - root_j[:, None]))
-    t2 = jnp.matmul(t1, _rt44(rot_mats[:, lev2], joints[:, lev2] - joints[:, lev1]))
-    t3 = jnp.matmul(t2, _rt44(rot_mats[:, lev3], joints[:, lev3] - joints[:, lev2]))
-    results = jnp.concatenate([t_root, t1, t2, t3], axis=1)[:, list(REORDER_IDXS)]
+    r1, t1 = _compose(root_rot[:, None], root_j[:, None],
+                      rot_mats[:, lev1], joints[:, lev1] - root_j[:, None])
+    r2, t2 = _compose(r1, t1, rot_mats[:, lev2],
+                      joints[:, lev2] - joints[:, lev1])
+    r3, t3 = _compose(r2, t2, rot_mats[:, lev3],
+                      joints[:, lev3] - joints[:, lev2])
+    order = list(REORDER_IDXS)
+    r_all = jnp.concatenate([root_rot[:, None], r1, r2, r3], axis=1)[:, order]
+    t_all = jnp.concatenate([root_j[:, None], t1, t2, t3], axis=1)[:, order]
 
-    jtr = results[:, :, :3, 3]  # posed joints (B, 16, 3)
+    jtr = t_all  # posed joints (B, 16, 3)
 
-    # remove rest-pose joint offsets from the translation column
-    # (our_mano.py:322-324): results2 = results - [0 | results @ [j; 0]]
-    j_h = jnp.concatenate([joints, jnp.zeros_like(joints[..., :1])], axis=-1)
-    offset = jnp.einsum("bjxy,bjy->bjx", results, j_h)
-    results2 = results.at[..., 3].add(-offset)
+    # remove rest-pose joint offsets from the translation
+    # (our_mano.py:322-324): t'_j = t_j - R_j j_j
+    t_rel = t_all - jnp.sum(r_all * joints[..., None, :], axis=-1)
 
-    # LBS skinning: one (778,16) x (B,16,16) matmul rides the MXU
-    # (vs. the reference's (B,4,4,16)x(16,778) layout, our_mano.py:326-335)
-    t_skin = jnp.einsum("vj,bjxy->bvxy", model.weights, results2)
-    v_h = jnp.concatenate([v_posed, jnp.ones_like(v_posed[..., :1])], axis=-1)
-    verts = jnp.einsum("bvxy,bvy->bvx", t_skin, v_h)[..., :3]
+    # LBS skinning on (R | t) directly — (778,16) x (B,16,...) matmuls ride
+    # the MXU (vs. the reference's (B,4,4,16)x(16,778) layout,
+    # our_mano.py:326-335); no homogeneous column, so the per-vertex blend
+    # materializes 9+3 components instead of 16
+    skin_r = jnp.einsum("vj,bjxy->bvxy", model.weights, r_all)
+    if channels_first:
+        verts = (jnp.einsum("bvxy,bvy->xbv", skin_r, v_posed)
+                 + jnp.einsum("vj,bjx->xbv", model.weights, t_rel))
+        tips = jnp.moveaxis(verts[:, :, model.tips], 0, -1)   # (B, 5, 3)
+        if root_palm:
+            palm = ((verts[:, :, 95] + verts[:, :, 22]) / 2.0).T[:, None]
+            jtr = jnp.concatenate([palm, jtr[:, 1:]], axis=1)
+        jtr = jnp.concatenate([jtr, tips], axis=1)[:, list(KP_REORDER)]
+        if not original_version:
+            center = jtr[:, :1]
+            jtr = jtr - center
+            verts = verts - jnp.moveaxis(center, -1, 0)       # (3, B, 1)
+        if trans is not None:
+            jtr = jtr + trans[:, None]
+            verts = verts + trans.T[:, :, None]
+        return verts, jtr
+
+    skin_t = jnp.einsum("vj,bjx->bvx", model.weights, t_rel)
+    verts = jnp.einsum("bvxy,bvy->bvx", skin_r, v_posed) + skin_t
 
     tips = verts[:, model.tips]
     if root_palm:

@@ -106,16 +106,26 @@ def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     hit_ref[:] = (hi - 2.0 * hi2)[0]
 
 
-@partial(jax.jit, static_argnames=("hw", "compute_dtype", "interpret"))
+@partial(jax.jit, static_argnames=("hw", "compute_dtype", "interpret", "cbv"))
 def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
                 fx, fy, cx, cy, points_cf, hw, compute_dtype=None,
-                interpret: bool = False):
+                interpret: bool = False, cbv: bool = False):
     h, w = hw
-    *batch, three, n = points_cf.shape
-    assert three == 3, points_cf.shape
-    out_shape = tuple(batch) + (n,)
-    flat = jnp.moveaxis(points_cf.reshape(-1, 3, n), 1, 0).reshape(3, -1)
-    flat = flat.astype(jnp.float32)
+    if cbv:
+        # (3, ..., N): the channel axis is already major, so the flat (3, M)
+        # view is a free bitcast. The (..., 3, N) layout costs ~2 ms per
+        # 4M-point call of XLA relayouting (a while-loop of row
+        # dynamic-update-slices) to reach the same flat view.
+        three, *batch, n = points_cf.shape
+        assert three == 3, points_cf.shape
+        out_shape = tuple(batch) + (n,)
+        flat = points_cf.reshape(3, -1).astype(jnp.float32)
+    else:
+        *batch, three, n = points_cf.shape
+        assert three == 3, points_cf.shape
+        out_shape = tuple(batch) + (n,)
+        flat = jnp.moveaxis(points_cf.reshape(-1, 3, n), 1, 0).reshape(3, -1)
+        flat = flat.astype(jnp.float32)
     m = flat.shape[1]
     tile = TILE if m >= TILE else _round_up(max(m, 128), 128)
     m_pad = _round_up(m, tile)
@@ -162,23 +172,28 @@ def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
 
 def fused_hand_energy(distilled, packed, obj_rotation, obj_translation,
                       fx, fy, cx, cy, points_cf, hw,
-                      compute_dtype=None, interpret: bool = False):
+                      compute_dtype=None, interpret: bool = False,
+                      cbv: bool = False):
     """Camera-frame vertices (..., 3, N) -> (sdf (..., N), background_hit
     (..., N)) in one kernel pass.
 
     distilled: sdf.distill.DistilledSDF; packed: mask_lookup.pack_mask
     output (H, WP); obj_rotation (3, 3) / obj_translation (3,) define the
-    object frame (obj = R^T (x - t)); hw = (H, W) static mask dims."""
+    object frame (obj = R^T (x - t)); hw = (H, W) static mask dims.
+
+    cbv=True takes vertices as (3, ..., N) instead (mano_forward's
+    channels_first layout) — the flat (3, M) kernel view is then a free
+    bitcast rather than a ~2 ms relayout per 4M-point call."""
     rot_t = jnp.swapaxes(obj_rotation, 0, 1)
     rt = jnp.matmul(rot_t, jnp.reshape(obj_translation, (3, 1)))
-    return _fused_vmapped(hw, compute_dtype, interpret)(
+    return _fused_vmapped(hw, compute_dtype, interpret, cbv)(
         tuple(distilled.weights), tuple(distilled.biases), distilled.freqs,
         distilled.scale, distilled.clamp, packed, rot_t, rt,
         fx, fy, cx, cy, points_cf)
 
 
 @lru_cache(maxsize=None)
-def _fused_vmapped(hw, compute_dtype, interpret):
+def _fused_vmapped(hw, compute_dtype, interpret, cbv=False):
     """custom_vmap: batched points fold into the point axis; batched assets
     fall back to the separate batched kernels (sdf_mlp + mask_lookup)."""
     from jax import custom_batching
@@ -188,7 +203,8 @@ def _fused_vmapped(hw, compute_dtype, interpret):
            fx, fy, cx, cy, points_cf):
         return _fused_impl(weights, biases, freqs, scale, clamp, packed,
                            rot_t, rt, fx, fy, cx, cy, points_cf, hw,
-                           compute_dtype=compute_dtype, interpret=interpret)
+                           compute_dtype=compute_dtype, interpret=interpret,
+                           cbv=cbv)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, weights, biases, freqs, scale, clamp,
@@ -197,6 +213,15 @@ def _fused_vmapped(hw, compute_dtype, interpret):
                 fx, fy, cx, cy, points_cf)
         assets_batched = any(jax.tree.leaves(tuple(in_batched[:12])))
         if not assets_batched:
+            if cbv:
+                # batch axis arrives leading: (S, 3, ..., N) -> (3, S, ..., N)
+                pts = (jnp.moveaxis(points_cf, 0, 1) if in_batched[12]
+                       else jnp.broadcast_to(
+                           points_cf[:, None],
+                           points_cf.shape[:1] + (axis_size,)
+                           + points_cf.shape[1:]))
+                sdf, hit = fn(*args[:12], pts)
+                return (sdf, hit), (True, True)
             pts = (points_cf if in_batched[12] else jnp.broadcast_to(
                 points_cf[None], (axis_size,) + points_cf.shape))
             return fn(*args[:12], pts), True
@@ -208,6 +233,12 @@ def _fused_vmapped(hw, compute_dtype, interpret):
         (weights, biases, freqs, scale, clamp, packed, rot_t, rt,
          fx, fy, cx, cy, points_cf) = jax.tree.map(bcast, args,
                                                    tuple(in_batched))
+        if cbv:
+            # this per-sequence-batched fallback works in (..., 3, N), so cbv
+            # points pay one transpose here (rare path — only multi-sequence
+            # tracking with per-sequence assets); after bcast the layout is
+            # (S, 3, ..., N)
+            points_cf = jnp.moveaxis(points_cf, 1, -2)
         from ..pallas.mask_lookup import packed_mask_lookup
         from ..pallas.sdf_mlp import fused_sdf_mlp_cf
         h, w = hw

@@ -140,6 +140,9 @@ def optimize_hand_pose(
     vis = vis_mask.astype(jnp.float32)
     invis_finger = 1.0 - vis[0, list(TIP_KP_IDS)]  # (5,)
 
+    use_fused = (use_packed_mask and distilled is not None
+                 and not os.environ.get("HOTRACK_NO_FUSED_ENERGY"))
+
     def forward_candidates(params, sample_ext):
         r, t, theta = params
         new_r = jnp.matmul(r, unit_quaternion_to_matrix(sample_ext[:, :4]))
@@ -148,12 +151,11 @@ def optimize_hand_pose(
             mano_model, sample_ext[:, 7:], NCOMPS) * THETA_SCALE
         axisang = mano_quat2axisang(matrix_to_unit_quaternion(new_r))
         pose = jnp.concatenate([axisang, new_theta], axis=-1)
+        # fused path takes verts channels-first (3, P, 778): the layout the
+        # Pallas kernel bitcasts to (3, M) — see mano_forward channels_first
         hand, kp = mano_forward(mano_model, pose, trans=new_t[..., 0],
-                                shaped=shaped)
+                                shaped=shaped, channels_first=use_fused)
         return hand, kp
-
-    use_fused = (use_packed_mask and distilled is not None
-                 and not os.environ.get("HOTRACK_NO_FUSED_ENERGY"))
 
     def energy_fn(params, sample_ext):
         hand, kp = forward_candidates(params, sample_ext)  # (P,778,3) (P,21,3)
@@ -166,9 +168,9 @@ def optimize_hand_pose(
             sdf, hits = fused_hand_energy(
                 distilled, packed, obj_rotation, obj_translation,
                 intrinsics["fx"], intrinsics["fy"], intrinsics["cx"],
-                intrinsics["cy"], jnp.swapaxes(hand, -1, -2), (h, w),
-                compute_dtype=sdf_compute_dtype())
-            sil = jnp.sum(hits, axis=-1) / hand.shape[1]
+                intrinsics["cy"], hand, (h, w),
+                compute_dtype=sdf_compute_dtype(), cbv=True)
+            sil = jnp.sum(hits, axis=-1) / hits.shape[-1]
         else:
             # object-frame SDF at hand verts (optimization_hand.py:252-262)
             if distilled is not None:

@@ -6,7 +6,7 @@ iteration (2048 particles x 1024 points, optimization_obj.py:230-237). On GPU
 that's a cheap coalesced gather; on TPU, random HBM gathers run at ~scalar
 speed and dominate everything (measured ~1.2 s/frame on v5e — 160M gathered
 elements). TPUs want matmuls, so the volume is distilled ONCE per sequence
-into a small MLP (Fourier features -> 4x64 relu -> sdf), whose evaluation is
+into a small MLP (Fourier features -> 3x128 relu -> sdf), whose evaluation is
 pure MXU work: ~5 ms/frame for the same query load, amortizing a few seconds
 of distillation over a 100-2000 frame sequence.
 
@@ -34,9 +34,17 @@ class DistilledSDF(NamedTuple):
     clamp: jnp.ndarray      # () output clamp (0.05 like `Distance`)
 
 
-MAX_FREQS = 8
+# Architecture defaults, swept on the real TPU (scripts/sweep_distill_arch.py
+# + scripts/ab_handopt_incontext.py, BENCHMARKS.md "distilled-SDF architecture"):
+# at the production distillation budget (4000 Adam steps) FEWER fourier
+# frequencies fit the near-surface band BETTER (3 freqs: 0.45/0.57 mm RMSE on
+# the box/compound 151^3 volumes vs 0.78/1.01 mm at 6 freqs — the high bands
+# alias), and depth 3 matches depth 4. The cut is also ~40% of the optimizer
+# stages' kernel FLOPs: fourier features measured ~2.7 ms/iter and each
+# hidden layer ~1.2 ms/iter in-context at the 5120x778 hand-opt load.
+MAX_FREQS = 3
 HIDDEN = 128
-DEPTH = 4
+DEPTH = 3
 
 
 def _features(points: jnp.ndarray, freqs: jnp.ndarray, scale) -> jnp.ndarray:
@@ -125,10 +133,13 @@ def eval_distilled_sdf_cf(model: DistilledSDF, points_cf: jnp.ndarray,
                     -model.clamp, model.clamp)
 
 
-@partial(jax.jit, static_argnames=("steps", "batch"))
+@partial(jax.jit, static_argnames=("steps", "batch", "hidden", "depth",
+                                   "max_freqs"))
 def distill_sdf_volume(volume: jnp.ndarray, voxel_scale: float,
                        key: jax.Array, steps: int = 4000, batch: int = 8192,
-                       clamp: float = 0.05, lr: float = 2e-3) -> DistilledSDF:
+                       clamp: float = 0.05, lr: float = 2e-3,
+                       hidden: int | None = None, depth: int | None = None,
+                       max_freqs: int | None = None) -> DistilledSDF:
     """Fit the MLP to a baked volume (V, V, V) @ voxel_scale centred at 0.
 
     Adam on *continuous* minibatches against the trilinear interpolant (the
@@ -143,15 +154,19 @@ def distill_sdf_volume(volume: jnp.ndarray, voxel_scale: float,
 
     from .volume import trilinear_sdf
 
+    hidden = HIDDEN if hidden is None else hidden
+    depth = DEPTH if depth is None else depth
+    max_freqs = MAX_FREQS if max_freqs is None else max_freqs
+
     v = volume.shape[0]
     half = v // 2
     extent = half * voxel_scale
     scale = jnp.float32(1.0 / extent)
-    n_freqs = min(MAX_FREQS, max(2, int(math.log2(max(half / 2.0, 4.0))) + 1))
+    n_freqs = min(max_freqs, max(2, int(math.log2(max(half / 2.0, 4.0))) + 1))
     freqs = jnp.float32(jnp.pi) * (2.0 ** jnp.arange(n_freqs))
 
     in_dim = 3 + 6 * n_freqs
-    dims = [in_dim] + [HIDDEN] * DEPTH + [1]
+    dims = [in_dim] + [hidden] * depth + [1]
     keys = jax.random.split(key, len(dims))
     weights = tuple(
         jax.random.normal(keys[i], (dims[i], dims[i + 1])) *

@@ -7,14 +7,17 @@ MLP count does not locate the time. This script times the kernel's parts
 separately at the 5120x778 point load on the real TPU:
 
   full        fused_hand_energy (sdf + silhouette, one pass)
+  full_bf16   fused_hand_energy with bf16 MLP matmuls (re-confirmation)
   sdf_only    fused_sdf_mlp_cf  (fourier features + MLP, no silhouette)
-  mask_only   packed_mask_lookup (one-hot silhouette, iy/ix precomputed)
   depth_d     sdf_only with d hidden layers (random weights, timing only)
   freqs_f     sdf_only with f fourier frequencies (first layer resized)
-  full_bf16   fused_hand_energy with bf16 MLP matmuls (re-confirmation)
+  mask_only   packed_mask_lookup (one-hot silhouette, iy/ix precomputed)
 
-All timings are chained-dependency minima over interleaved rounds — the axon
-tunnel shows multi-x slow patches, so per-variant averages lie.
+Timing discipline (learned the hard way, see diag_relay*.py): every device
+value is a jit ARGUMENT (big jit-closed constants are embedded in the
+remote-compile HTTP request — a 32 MB closure adds minutes), the chain
+carries a SCALAR (fetching a 48 MB carry through the tunnel contaminates
+every number), minima over interleaved rounds.
 """
 
 import os
@@ -60,58 +63,58 @@ def main():
                                .astype(np.float32)) * 0.05
                    for i in range(len(dims) - 1))
         bs = tuple(jnp.zeros((dims[i + 1],)) for i in range(len(dims) - 1))
-        freqs = jnp.float32(np.pi) * (2.0 ** jnp.arange(max(n_freqs, 0)))
+        freqs = jnp.float32(np.pi) * (2.0 ** jnp.arange(max(n_freqs, 1)))
         return DistilledSDF(ws, bs, freqs.astype(jnp.float32),
                             distilled.scale, distilled.clamp)
 
+    # every variant: jitted fn(pts, acc, *extras) -> scalar; chain on acc
     variants = {}
 
     def add_fused(name, dtype):
-        f = jax.jit(lambda p: fused_hand_energy(
-            distilled, packed, rot, trans, 600.0, 600.0, 320.0, 240.0,
-            p, hw, compute_dtype=dtype))
-
-        def run(p):
-            s, h = f(p)
-            return p + 0.0 * (s + h)
-        variants[name] = run
+        @jax.jit
+        def f(p, acc, model, pk):
+            s, h = fused_hand_energy(model, pk, rot, trans, 600.0, 600.0,
+                                     320.0, 240.0, p + acc, hw,
+                                     compute_dtype=dtype)
+            return 0.0 * (jnp.sum(s) + jnp.sum(h))
+        variants[name] = lambda acc: f(pts, acc, distilled, packed)
 
     add_fused("full", None)
     add_fused("full_bf16", jnp.bfloat16)
 
     def add_sdf(name, model):
-        f = jax.jit(lambda p: eval_distilled_sdf_cf(model, p))
-
-        def run(p):
-            return p + 0.0 * f(p)
-        variants[name] = run
+        @jax.jit
+        def f(p, acc, mdl):
+            return 0.0 * jnp.sum(eval_distilled_sdf_cf(mdl, p + acc))
+        variants[name] = lambda acc, _m=model: f(pts, acc, _m)
 
     add_sdf("sdf_only", distilled)
-    for d in (1, 2, 3):
+    for d in (0, 1, 2, 3):
         add_sdf(f"depth_{d}", rand_model(d, len(distilled.freqs)))
     for nf in (1, 3):
         add_sdf(f"freqs_{nf}", rand_model(4, nf))
 
-    fmask = jax.jit(lambda p: packed_mask_lookup(packed, iy, ix))
+    @jax.jit
+    def fmask(a, b, acc, pk):
+        hit = packed_mask_lookup(pk, a + 0 * acc.astype(jnp.int32), b)
+        return 0.0 * jnp.sum(hit)
 
-    def run_mask(p):
-        return p + 0.0 * fmask(p)[None]
-    variants["mask_only"] = run_mask
+    variants["mask_only"] = lambda acc: fmask(iy, ix, acc, packed)
 
-    # compile all
-    for name, run in variants.items():
-        np.asarray(run(pts))
+    zero = jnp.float32(0.0)
+    for name, run in variants.items():   # compile all
+        np.asarray(run(zero))
 
     reps = int(os.environ.get("AB_REPS", 5))
     rounds = int(os.environ.get("AB_ROUNDS", 4))
     mins = {k: float("inf") for k in variants}
     for r in range(rounds):
         for name, run in variants.items():
-            p = pts
+            acc = zero
             t0 = time.perf_counter()
             for _ in range(reps):
-                p = run(p)
-            np.asarray(p)
+                acc = run(acc)
+            np.asarray(acc)
             dt = (time.perf_counter() - t0) / reps
             mins[name] = min(mins[name], dt)
             print(f"round {r} {name:10s} {dt * 1e3:8.2f} ms", flush=True)

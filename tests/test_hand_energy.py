@@ -92,3 +92,61 @@ def test_fused_hand_energy_vmap_fallback():
                                    np.asarray(want_sdf), atol=3e-5)
         np.testing.assert_array_equal(np.asarray(got_hit[s]),
                                       np.asarray(want_hit))
+
+
+def test_fused_hand_energy_cbv_layouts():
+    """cbv=True ((3, ..., N) vertices, mano_forward channels_first layout)
+    matches the (..., 3, N) path bit-for-bit, unbatched, under vmap over
+    points, and through the batched-assets fallback."""
+    rng = np.random.default_rng(7)
+    h, w = 64, 80
+    mask = rng.random((h, w)) > 0.5
+    packed = pack_mask(jnp.asarray(mask))
+    model = _model(8)
+    rot = jnp.eye(3)
+    trans = jnp.asarray([0.01, -0.02, 0.015], np.float32)
+    fxfycxcy = (jnp.float32(100.0), jnp.float32(90.0),
+                jnp.float32(40.0), jnp.float32(32.0))
+
+    pts = rng.standard_normal((4, 3, 150)).astype("float32") * 0.1
+    pts[:, 2] += 0.5
+    pts_cf = jnp.asarray(pts)                       # (P, 3, N)
+    pts_cbv = jnp.moveaxis(pts_cf, 1, 0)            # (3, P, N)
+
+    want = fused_hand_energy(model, packed, rot, trans, *fxfycxcy,
+                             pts_cf, (h, w), interpret=True)
+    got = fused_hand_energy(model, packed, rot, trans, *fxfycxcy,
+                            pts_cbv, (h, w), interpret=True, cbv=True)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # vmap over a leading sequence axis of the points only
+    seq_cbv = jnp.stack([pts_cbv, pts_cbv + 0.01])  # (S, 3, P, N)
+    call = lambda p: fused_hand_energy(model, packed, rot, trans,  # noqa: E731
+                                       *fxfycxcy, p, (h, w),
+                                       interpret=True, cbv=True)
+    got_v = jax.vmap(call)(seq_cbv)
+    for s in range(2):
+        want_s = call(seq_cbv[s])
+        for a, b in zip((got_v[0][s], got_v[1][s]), want_s):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # batched assets + cbv points -> separate-kernel fallback
+    packed2 = jnp.stack([packed, packed])
+    models2 = jax.tree.map(lambda *xs: jnp.stack(xs), _model(8), _model(9))
+    rots2 = jnp.stack([rot, rot])
+    trans2 = jnp.stack([trans, trans + 0.005])
+    intr2 = tuple(jnp.stack([v, v]) for v in fxfycxcy)
+    call2 = lambda md, pk, r, t, fx, fy, cx, cy, p: fused_hand_energy(  # noqa: E731
+        md, pk, r, t, fx, fy, cx, cy, p, (h, w), interpret=True, cbv=True)
+    got_b = jax.vmap(call2)(models2, packed2, rots2, trans2, *intr2, seq_cbv)
+    for s in range(2):
+        m = jax.tree.map(lambda a: a[s], models2)
+        want_b = fused_hand_energy(
+            m, packed2[s], rots2[s], trans2[s],
+            *(v[s] for v in intr2), jnp.moveaxis(seq_cbv[s], 0, 1),
+            (h, w), interpret=True)
+        np.testing.assert_allclose(np.asarray(got_b[0][s]),
+                                   np.asarray(want_b[0]), atol=3e-5)
+        np.testing.assert_array_equal(np.asarray(got_b[1][s]),
+                                      np.asarray(want_b[1]))
