@@ -75,6 +75,39 @@ def shape_hand(model: ManoModel, betas: jnp.ndarray):
     return v_shaped, joints
 
 
+def _kinematic_chain(rot_mats, joints):
+    """Base-to-tips chain, 3 levels of 5 fingers (our_mano.py:286-316).
+
+    Composed as (R, t) pairs with broadcast-multiply-reduce instead of
+    homogeneous 4x4 jnp.matmul: at (B, 5) batches of 3x3 the MXU path costs
+    more in bf16-cast + layout copies than it computes (profiled ~1 ms/iter
+    of pure copies in the 5120-candidate optimizer program); the elementwise
+    form fuses on the VPU, in full f32.
+
+    Returns (r_all (B,16,3,3), t_all (B,16,3) posed joints, t_rel (B,16,3)
+    = t_all - r_all @ rest_joints, the LBS translation — our_mano.py:322-324).
+    """
+    def _compose(rp, tp, rl, tl):
+        r = jnp.sum(rp[..., :, :, None] * rl[..., None, :, :], axis=-2)
+        t = jnp.sum(rp * tl[..., None, :], axis=-1) + tp
+        return r, t
+
+    root_rot = rot_mats[:, 0]
+    root_j = joints[:, 0]
+    lev1, lev2, lev3 = list(LEV1_IDXS), list(LEV2_IDXS), list(LEV3_IDXS)
+    r1, t1 = _compose(root_rot[:, None], root_j[:, None],
+                      rot_mats[:, lev1], joints[:, lev1] - root_j[:, None])
+    r2, t2 = _compose(r1, t1, rot_mats[:, lev2],
+                      joints[:, lev2] - joints[:, lev1])
+    r3, t3 = _compose(r2, t2, rot_mats[:, lev3],
+                      joints[:, lev3] - joints[:, lev2])
+    order = list(REORDER_IDXS)
+    r_all = jnp.concatenate([root_rot[:, None], r1, r2, r3], axis=1)[:, order]
+    t_all = jnp.concatenate([root_j[:, None], t1, t2, t3], axis=1)[:, order]
+    t_rel = t_all - jnp.sum(r_all * joints[..., None, :], axis=-1)
+    return r_all, t_all, t_rel
+
+
 @partial(jax.jit, static_argnames=("original_version", "root_palm",
                                    "channels_first"))
 def mano_forward(
@@ -120,34 +153,9 @@ def mano_forward(
 
     v_posed = v_shaped + jnp.einsum("vcp,bp->bvc", model.posedirs, pose_map)
 
-    # kinematic chain, base to tips, 3 levels of 5 fingers (our_mano.py:286-316).
-    # Composed as (R, t) pairs with broadcast-multiply-reduce instead of
-    # homogeneous 4x4 jnp.matmul: at (B, 5) batches of 3x3 the MXU path costs
-    # more in bf16-cast + layout copies than it computes (profiled ~1 ms/iter
-    # of pure copies in the 5120-candidate optimizer program); the elementwise
-    # form fuses on the VPU, in full f32.
-    def _compose(rp, tp, rl, tl):
-        r = jnp.sum(rp[..., :, :, None] * rl[..., None, :, :], axis=-2)
-        t = jnp.sum(rp * tl[..., None, :], axis=-1) + tp
-        return r, t
-
-    root_j = joints[:, 0]
-    lev1, lev2, lev3 = list(LEV1_IDXS), list(LEV2_IDXS), list(LEV3_IDXS)
-    r1, t1 = _compose(root_rot[:, None], root_j[:, None],
-                      rot_mats[:, lev1], joints[:, lev1] - root_j[:, None])
-    r2, t2 = _compose(r1, t1, rot_mats[:, lev2],
-                      joints[:, lev2] - joints[:, lev1])
-    r3, t3 = _compose(r2, t2, rot_mats[:, lev3],
-                      joints[:, lev3] - joints[:, lev2])
-    order = list(REORDER_IDXS)
-    r_all = jnp.concatenate([root_rot[:, None], r1, r2, r3], axis=1)[:, order]
-    t_all = jnp.concatenate([root_j[:, None], t1, t2, t3], axis=1)[:, order]
+    r_all, t_all, t_rel = _kinematic_chain(rot_mats, joints)
 
     jtr = t_all  # posed joints (B, 16, 3)
-
-    # remove rest-pose joint offsets from the translation
-    # (our_mano.py:322-324): t'_j = t_j - R_j j_j
-    t_rel = t_all - jnp.sum(r_all * joints[..., None, :], axis=-1)
 
     # LBS skinning on (R | t) directly — (778,16) x (B,16,...) matmuls ride
     # the MXU (vs. the reference's (B,4,4,16)x(16,778) layout,
@@ -189,6 +197,51 @@ def mano_forward(
         jtr = jtr + trans[:, None]
         verts = verts + trans[:, None]
     return verts, jtr
+
+
+def mano_skin_inputs(model: ManoModel, pose_coeffs: jnp.ndarray,
+                     trans: jnp.ndarray, shaped):
+    """Keypoints + per-candidate skinning inputs for the fused
+    skinning+energy Pallas kernel (ops/pallas/hand_energy_skin.py).
+
+    The kernel computes verts(v) = R_skin(v) vp(v) + t_skin(v) + offset in
+    VMEM, where vp = v_shaped + posedirs @ pose_map and [R_skin | t_skin] is
+    the per-vertex weight blend of (r_all, t_rel) — exactly mano_forward's
+    LBS. offset = trans - wrist_center reproduces the wrist-centred +
+    translated convention, so in-kernel verts match
+    mano_forward(..., channels_first=True) up to dot-precision (in-kernel
+    dots run f32; XLA einsums default to bf16 on TPU).
+
+    Returns (kp (B,21,3), pose_map (B,135), rt_flat (B*12,16),
+    offset (B,3)). The 21 keypoints use a 5-vertex mini-skin for the
+    fingertips (same per-element dots as the full path).
+    """
+    b = pose_coeffs.shape[0]
+    rot_mats = mano_rodrigues(pose_coeffs.reshape(b, 16, 3))
+    eye = jnp.eye(3, dtype=pose_coeffs.dtype)
+    pose_map = (rot_mats[:, 1:] - eye).reshape(b, 135)
+
+    v_shaped, joints = shaped
+    v_shaped = jnp.broadcast_to(v_shaped, (b,) + v_shaped.shape[1:])
+    joints = jnp.broadcast_to(joints, (b,) + joints.shape[1:])
+    r_all, t_all, t_rel = _kinematic_chain(rot_mats, joints)
+
+    # fingertip mini-skin (5 verts)
+    w5 = model.weights[model.tips]                       # (5, 16)
+    pd5 = model.posedirs[model.tips]                     # (5, 3, 135)
+    vp5 = v_shaped[:, model.tips] + jnp.einsum("vcp,bp->bvc", pd5, pose_map)
+    r5 = jnp.einsum("vj,bjxy->bvxy", w5, r_all)
+    t5 = jnp.einsum("vj,bjx->bvx", w5, t_rel)
+    tips = jnp.einsum("bvxy,bvy->bvx", r5, vp5) + t5
+
+    jtr = jnp.concatenate([t_all, tips], axis=1)[:, list(KP_REORDER)]
+    center = jtr[:, :1]
+    kp = jtr - center + trans[:, None]
+    offset = trans - center[:, 0]
+
+    rt = jnp.concatenate([r_all.reshape(b, 16, 9), t_rel], axis=-1)
+    rt_flat = jnp.swapaxes(rt, 1, 2).reshape(b * 12, 16)
+    return kp, pose_map, rt_flat, offset
 
 
 def mano_keypoints(model: ManoModel, pose_coeffs, betas=None, trans=None,

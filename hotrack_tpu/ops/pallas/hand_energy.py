@@ -50,17 +50,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
-                   pts_ref, rot_t_ref, rt_ref, freqs_ref, packed_t_ref,
-                   *refs, n_layers: int, h: int, w: int, compute_dtype=None,
-                   mask_dtype=jnp.bfloat16):
-    """Blocks: pts (3, T); rot_t (8, 128)-padded (3, 3); rt (3, 1);
-    freqs (F, 1); packed_t (WP, H); weights (out, in) / biases (out, 1);
-    outputs sdf (T,), hit (T,)."""
-    sdf_ref, hit_ref = refs[-2], refs[-1]
-    wb = refs[:-2]
-    x = pts_ref[:]                                   # (3, T) camera frame
-
+def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
+                 rot_t_ref, rt_ref, freqs_ref, packed_t_ref, wb,
+                 n_layers: int, h: int, w: int, compute_dtype=None,
+                 mask_dtype=jnp.bfloat16):
+    """Shared in-kernel energy math: camera-frame points x (3, T) ->
+    (sdf (T,), background hit (T,)). Used by both the plain fused kernel
+    (points from HBM) and the skinning kernel (points built in VMEM)."""
     # ---- object-frame SDF ----
     obj = jnp.dot(rot_t_ref[:], x,
                   preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
@@ -82,7 +78,7 @@ def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
         if i < n_layers - 1:
             hcur = jnp.maximum(hcur, 0.0)
     c = clamp_ref[0, 0]
-    sdf_ref[:] = jnp.clip(hcur, -c, c)[0]
+    sdf = jnp.clip(hcur, -c, c)[0]
 
     # ---- silhouette hit ----
     t = x.shape[1]
@@ -103,7 +99,26 @@ def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     b = (ix % BITS).astype(jnp.float32)
     hi = jnp.floor(word * jnp.exp2(-b))
     hi2 = jnp.floor(word * jnp.exp2(-(b + 1.0)))
-    hit_ref[:] = (hi - 2.0 * hi2)[0]
+    hit = (hi - 2.0 * hi2)[0]
+    return sdf, hit
+
+
+def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
+                   pts_ref, rot_t_ref, rt_ref, freqs_ref, packed_t_ref,
+                   *refs, n_layers: int, h: int, w: int, compute_dtype=None,
+                   mask_dtype=jnp.bfloat16):
+    """Blocks: pts (3, T); rot_t (8, 128)-padded (3, 3); rt (3, 1);
+    freqs (F, 1); packed_t (WP, H); weights (out, in) / biases (out, 1);
+    outputs sdf (T,), hit (T,)."""
+    sdf_ref, hit_ref = refs[-2], refs[-1]
+    wb = refs[:-2]
+    x = pts_ref[:]                                   # (3, T) camera frame
+    sdf, hit = _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref,
+                            cy_ref, rot_t_ref, rt_ref, freqs_ref,
+                            packed_t_ref, wb, n_layers, h, w,
+                            compute_dtype, mask_dtype)
+    sdf_ref[:] = sdf
+    hit_ref[:] = hit
 
 
 @partial(jax.jit, static_argnames=("hw", "compute_dtype", "interpret", "cbv"))

@@ -142,15 +142,34 @@ def optimize_hand_pose(
 
     use_fused = (use_packed_mask and distilled is not None
                  and not os.environ.get("HOTRACK_NO_FUSED_ENERGY"))
+    # skin+energy in ONE kernel (ops/pallas/hand_energy_skin.py): vertices
+    # never reach HBM — kills the skinning einsum materializations and the
+    # ~1.1 ms/iter tiled->flat relayout of the (..., 778) vertex arrays
+    use_skin = use_fused and not os.environ.get("HOTRACK_NO_FUSED_SKIN")
+    n_verts = mano_model.weights.shape[0]
+    if use_skin:
+        vp_pad = (n_verts + 127) // 128 * 128
+        pad = ((0, 0), (0, 0), (0, vp_pad - n_verts))
+        # per-call constants for the kernel (pad verts produce garbage in
+        # discarded lanes only; outputs are sliced [:, :n_verts])
+        posed_cf = jnp.pad(jnp.transpose(mano_model.posedirs, (1, 2, 0)),
+                           pad)                               # (3, 135, VP)
+        vshap_cf = jnp.pad(jnp.swapaxes(shaped[0][0], 0, 1),
+                           pad[1:])                           # (3, VP)
+        w_t = jnp.pad(jnp.swapaxes(mano_model.weights, 0, 1),
+                      pad[1:])                                # (16, VP)
 
-    def forward_candidates(params, sample_ext):
+    def candidate_pose(params, sample_ext):
         r, t, theta = params
         new_r = jnp.matmul(r, unit_quaternion_to_matrix(sample_ext[:, :4]))
         new_t = t + sample_ext[:, 4:7, None]
         new_theta = theta + pca_comps2pose(
             mano_model, sample_ext[:, 7:], NCOMPS) * THETA_SCALE
         axisang = mano_quat2axisang(matrix_to_unit_quaternion(new_r))
-        pose = jnp.concatenate([axisang, new_theta], axis=-1)
+        return jnp.concatenate([axisang, new_theta], axis=-1), new_t
+
+    def forward_candidates(params, sample_ext):
+        pose, new_t = candidate_pose(params, sample_ext)
         # fused path takes verts channels-first (3, P, 778): the layout the
         # Pallas kernel bitcasts to (3, M) — see mano_forward channels_first
         hand, kp = mano_forward(mano_model, pose, trans=new_t[..., 0],
@@ -158,6 +177,22 @@ def optimize_hand_pose(
         return hand, kp
 
     def energy_fn(params, sample_ext):
+        if use_skin:
+            from ..mano.layer import mano_skin_inputs
+            from ..ops.pallas.hand_energy_skin import fused_hand_energy_skin
+            from ..sdf.distill import sdf_compute_dtype
+            pose, new_t = candidate_pose(params, sample_ext)
+            kp, pose_map, rt_flat, offset = mano_skin_inputs(
+                mano_model, pose, new_t[..., 0], shaped)
+            sdf_p, hits_p = fused_hand_energy_skin(
+                distilled, packed, obj_rotation, obj_translation,
+                intrinsics["fx"], intrinsics["fy"], intrinsics["cx"],
+                intrinsics["cy"], pose_map, rt_flat, offset, posed_cf,
+                vshap_cf, w_t, (h, w), compute_dtype=sdf_compute_dtype())
+            sdf = sdf_p[:, :n_verts]
+            sil = jnp.sum(hits_p[:, :n_verts], axis=-1) / n_verts
+            return _terms(sdf, sil, kp)
+
         hand, kp = forward_candidates(params, sample_ext)  # (P,778,3) (P,21,3)
 
         if use_fused:
@@ -203,6 +238,9 @@ def optimize_hand_pose(
                 sil = jnp.sum(background_mask[iy, ix],
                               axis=-1) / hand.shape[1]
 
+        return _terms(sdf, sil, kp)
+
+    def _terms(sdf, sil, kp):
         # penetration (:264-268)
         pen = jnp.max(jnp.abs(sdf) * (sdf < 0.0), axis=-1)
 
