@@ -45,18 +45,39 @@ import os as _os
 # activations comfortably in VMEM; HOTRACK_ENERGY_TILE overrides for tuning
 TILE = int(_os.environ.get("HOTRACK_ENERGY_TILE", 2048))
 
+# two-level silhouette row selection: the (H, T) one-hot compares+casts were
+# the single largest VPU slice of the energy kernel (~2.8 ms/iter at H=480,
+# 4.6M pts). Split iy = a*HB + b: a (HB, T) one-hot contracts the packed
+# mask on the MXU exactly as before (one nonzero per column, f32 accum =
+# exact word selection), then HA slab-fmas pick the a level — VPU ops drop
+# from ~(2H+2WP)T to ~(2HB + HA*WP + 2WP)T. HA=4 minimizes it at H=480,
+# WP=80.
+HA = int(_os.environ.get("HOTRACK_SIL_HA", 4))
+
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def pack_two_level(packed: jnp.ndarray, ha: int = HA) -> jnp.ndarray:
+    """(H, WP) f32 words from mask_lookup.pack_mask -> (ha*WP, HB) operand
+    for the fused kernels: row a*WP + wp, column b holds packed[a*HB+b, wp]
+    (zero rows pad H up to ha*HB)."""
+    h, wp = packed.shape
+    hb = -(-h // ha)
+    pt = jnp.swapaxes(packed.astype(jnp.float32), 0, 1)       # (WP, H)
+    pt = jnp.pad(pt, ((0, 0), (0, ha * hb - h)))
+    return pt.reshape(wp, ha, hb).transpose(1, 0, 2).reshape(ha * wp, hb)
+
+
 def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
-                 rot_t_ref, rt_ref, freqs_ref, packed_t_ref, wb,
+                 rot_t_ref, rt_ref, freqs_ref, packed_ab_ref, wb,
                  n_layers: int, h: int, w: int, compute_dtype=None,
-                 mask_dtype=jnp.bfloat16):
+                 mask_dtype=jnp.bfloat16, ha: int = HA):
     """Shared in-kernel energy math: camera-frame points x (3, T) ->
     (sdf (T,), background hit (T,)). Used by both the plain fused kernel
-    (points from HBM) and the skinning kernel (points built in VMEM)."""
+    (points from HBM) and the skinning kernel (points built in VMEM).
+    packed_ab_ref: pack_two_level output (ha*WP, HB)."""
     # ---- object-frame SDF ----
     obj = jnp.dot(rot_t_ref[:], x,
                   preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
@@ -87,12 +108,20 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
                    + cy_ref[0, 0]).astype(jnp.int32), 0, h - 1)   # (1, T)
     ix = jnp.clip((x[0:1, :] / z * fx_ref[0, 0]
                    + cx_ref[0, 0]).astype(jnp.int32), 0, w - 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, t), 0)
+    hawp, hb = packed_ab_ref.shape
+    wp = hawp // ha
+    a_idx = iy // hb
+    b_idx = iy - a_idx * hb
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (hb, t), 0)
     # bf16 on TPU (words < 256 are bf16-exact); f32 in interpret mode
-    onehot_y = (rows == iy).astype(mask_dtype)                    # (H, T)
-    row_words = jnp.dot(packed_t_ref[:].astype(mask_dtype), onehot_y,
-                        preferred_element_type=jnp.float32)       # (WP, T)
-    wp = row_words.shape[0]
+    onehot_b = (rows_b == b_idx).astype(mask_dtype)               # (HB, T)
+    x_ab = jnp.dot(packed_ab_ref[:].astype(mask_dtype), onehot_b,
+                   preferred_element_type=jnp.float32)            # (ha*WP, T)
+    # a-level select: ha slab-fmas (exact — one nonzero slab per column)
+    row_words = x_ab[0:wp, :] * (a_idx == 0).astype(jnp.float32)
+    for a in range(1, ha):
+        row_words = row_words + (x_ab[a * wp:(a + 1) * wp, :]
+                                 * (a_idx == a).astype(jnp.float32))
     cols = jax.lax.broadcasted_iota(jnp.int32, (wp, t), 0)
     onehot_w = (cols == ix // BITS).astype(jnp.float32)
     word = jnp.sum(row_words * onehot_w, axis=0, keepdims=True)   # (1, T)
@@ -104,18 +133,18 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
 
 
 def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
-                   pts_ref, rot_t_ref, rt_ref, freqs_ref, packed_t_ref,
+                   pts_ref, rot_t_ref, rt_ref, freqs_ref, packed_ab_ref,
                    *refs, n_layers: int, h: int, w: int, compute_dtype=None,
                    mask_dtype=jnp.bfloat16):
     """Blocks: pts (3, T); rot_t (8, 128)-padded (3, 3); rt (3, 1);
-    freqs (F, 1); packed_t (WP, H); weights (out, in) / biases (out, 1);
-    outputs sdf (T,), hit (T,)."""
+    freqs (F, 1); packed_ab (HA*WP, HB) two-level mask; weights (out, in) /
+    biases (out, 1); outputs sdf (T,), hit (T,)."""
     sdf_ref, hit_ref = refs[-2], refs[-1]
     wb = refs[:-2]
     x = pts_ref[:]                                   # (3, T) camera frame
     sdf, hit = _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref,
                             cy_ref, rot_t_ref, rt_ref, freqs_ref,
-                            packed_t_ref, wb, n_layers, h, w,
+                            packed_ab_ref, wb, n_layers, h, w,
                             compute_dtype, mask_dtype)
     sdf_ref[:] = sdf
     hit_ref[:] = hit
@@ -151,7 +180,7 @@ def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
 
     n_layers = len(weights)
     freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
-    packed_t = jnp.swapaxes(packed.astype(jnp.float32), 0, 1)   # (WP, H)
+    packed_ab = pack_two_level(packed)                          # (HA*WP, HB)
     scalars = [jnp.reshape(v, (1, 1)).astype(jnp.float32)
                for v in (scale, clamp, fx, fy, cx, cy)]
     rt2 = jnp.reshape(rt, (3, 1)).astype(jnp.float32)
@@ -174,14 +203,14 @@ def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
             pl.BlockSpec(rot_t.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(freqs2.shape, fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec(packed_t.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_ab.shape, fixed, memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(a.shape, fixed, memory_space=pltpu.VMEM)
              for a in wb],
         out_specs=[pl.BlockSpec((tile,), lambda i: (i,),
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((m_pad,), jnp.float32)] * 2,
         interpret=interpret,
-    )(*scalars, flat, rot_t.astype(jnp.float32), rt2, freqs2, packed_t, *wb)
+    )(*scalars, flat, rot_t.astype(jnp.float32), rt2, freqs2, packed_ab, *wb)
     return sdf[:m].reshape(out_shape), hit[:m].reshape(out_shape)
 
 

@@ -17,9 +17,13 @@ so vertices never exist in HBM at all. VP is the vertex count padded to a
 lane multiple (778 -> 896); pad columns carry garbage and the caller slices
 [:, :n_verts] before any reduction (exact — see optimize_hand_pose).
 
-Precision note: in-kernel dots run f32 (preferred_element_type), so the
-skinning here is slightly MORE precise than the XLA einsum path (default
-TPU matmul precision is bf16). Parity tests compare at f32 tolerance.
+Precision note: in-kernel dots accumulate in f32 (preferred_element_type)
+but the MXU rounds f32 INPUTS to bf16 in a single pass — measured identical
+to explicit bf16 inputs and to XLA's default-precision einsums (see
+BENCHMARKS.md "MXU precision reality"). The skinning here therefore matches
+the XLA einsum path's precision class; parity tests on CPU (interpret mode,
+true f32) pin the math, and the device deviation vs the composed path is
+the shared bf16 input rounding (~0.1 mm on the bench scene).
 
 vmap: any batched operand routes to a pure-JAX fallback that reconstructs
 the vertices with the same math and calls fused_hand_energy (which handles
@@ -35,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hand_energy import _energy_core, fused_hand_energy
+from .hand_energy import _energy_core, fused_hand_energy, pack_two_level
 
 import os as _os
 
@@ -54,13 +58,13 @@ def _round_up(x: int, m: int) -> int:
 
 def _skin_energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
                         pose_ref, rtT_ref, off_ref, rot_t_ref, rt_ref,
-                        freqs_ref, packed_t_ref, posed_ref, vshap_ref, wT_ref,
+                        freqs_ref, packed_ab_ref, posed_ref, vshap_ref, wT_ref,
                         *refs, n_layers: int, h: int, w: int, tb: int,
                         compute_dtype=None, mask_dtype=jnp.bfloat16):
     """Blocks: pose (TB, 135); rtT (1, 12*TB, 16) role-major (row = r*TB+p,
     prepared by _skin_impl so slab ops below are sublane-offset-aligned);
     off (TB, 3); fixed: rot_t (3, 3), rt (3, 1), freqs (F, 1),
-    packed_t (WP, H), posed (3, P135, VP), vshap (3, VP), wT (16, VP), MLP
+    packed_ab (HA*WP, HB) two-level mask, posed (3, P135, VP), vshap (3, VP), wT (16, VP), MLP
     weights/biases; outputs (TB, VP) x2; one VMEM scratch (3, SUB*VP) for
     the assembled camera-frame points (Mosaic cannot lane-concat vector
     slices at mismatched sublane offsets — explicit scratch stores normalize
@@ -95,7 +99,7 @@ def _skin_energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
 
         sdf, hit = _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref,
                                 cx_ref, cy_ref, rot_t_ref, rt_ref, freqs_ref,
-                                packed_t_ref, wb, n_layers, h, w,
+                                packed_ab_ref, wb, n_layers, h, w,
                                 compute_dtype, mask_dtype)
         sdf2 = sdf[None]
         hit2 = hit[None]
@@ -132,7 +136,7 @@ def _skin_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
 
     n_layers = len(weights)
     freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
-    packed_t = jnp.swapaxes(packed.astype(jnp.float32), 0, 1)   # (WP, H)
+    packed_ab = pack_two_level(packed)                          # (HA*WP, HB)
     scalars = [jnp.reshape(v, (1, 1)).astype(jnp.float32)
                for v in (scale, clamp, fx, fy, cx, cy)]
     rt2 = jnp.reshape(rt, (3, 1)).astype(jnp.float32)
@@ -161,7 +165,7 @@ def _skin_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
             pl.BlockSpec(rot_t.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 1), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(freqs2.shape, fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec(packed_t.shape, fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed_ab.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(posed_cf.shape, fixed3, memory_space=pltpu.VMEM),
             pl.BlockSpec(vshap_cf.shape, fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(wT.shape, fixed, memory_space=pltpu.VMEM),
@@ -173,7 +177,7 @@ def _skin_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
         scratch_shapes=[pltpu.VMEM((3, min(SUB, TBLK) * vp), jnp.float32)],
         interpret=interpret,
     )(*scalars, pose_map.astype(jnp.float32), rt_role,
-      off2, rot_t.astype(jnp.float32), rt2, freqs2, packed_t,
+      off2, rot_t.astype(jnp.float32), rt2, freqs2, packed_ab,
       posed_cf.astype(jnp.float32), vshap_cf.astype(jnp.float32),
       wT.astype(jnp.float32), *wb)
     return sdf[:b], hit[:b]

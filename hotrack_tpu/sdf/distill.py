@@ -62,10 +62,12 @@ def _raw_sdf(model: DistilledSDF, points: jnp.ndarray,
     """Unclamped MLP output — used for training (clipping at train time
     zeroes gradients wherever the init lands outside the clamp band).
 
-    `compute_dtype=jnp.bfloat16` runs the matmuls on bf16 inputs with f32
-    accumulation (the TPU MXU's native mode, ~2x the f32 rate); Fourier
-    features and the final sdf stay f32. Adds ~0.3-0.5 mm to the distillation
-    error — see BENCHMARKS.md for the measured accuracy/speed trade."""
+    `compute_dtype=jnp.bfloat16` makes the bf16 input rounding explicit.
+    NOTE: measured on v5e, default-precision f32 matmuls ALREADY run as
+    single-pass bf16 on the MXU (identical outputs to explicit bf16 — see
+    BENCHMARKS.md "MXU precision reality"), so this knob changes neither
+    numerics nor speed there; it matters only under
+    jax.default_matmul_precision overrides or on other backends."""
     h = _features(points, model.freqs, model.scale)
     if compute_dtype is not None:
         h = h.astype(compute_dtype)
@@ -83,10 +85,11 @@ def _raw_sdf(model: DistilledSDF, points: jnp.ndarray,
 
 
 def sdf_compute_dtype():
-    """Optimizer-energy SDF matmul dtype: HOTRACK_SDF_BF16=1 -> bf16 inputs
-    with f32 accumulation (2x the MXU rate; adds ~sub-voxel error to the
-    distilled SDF — the energies already treat it as an approximation).
-    Default None = f32."""
+    """Optimizer-energy SDF matmul dtype: HOTRACK_SDF_BF16=1 -> explicit
+    bf16 inputs with f32 accumulation. Measured a no-op on v5e (default
+    f32 matmuls already run single-pass bf16 on the MXU, bit-identical
+    outputs) — kept for backends/precision modes where the default
+    differs."""
     import os
     return jnp.bfloat16 if os.environ.get("HOTRACK_SDF_BF16") else None
 
