@@ -214,10 +214,14 @@ def bench_handopt(mano):
     chained(1)
     reps = int(os.environ.get("BENCH_REPS", 5))
     dt = min(chained(reps) for _ in range(3)) / reps
-    # SDF MLP + bit-packed silhouette matmuls + MANO blend/skin einsums
-    per_pt = _mlp_flops_per_point(distilled) + 2 * (480 + 640 // 32)
-    mano_flops = 2 * 778 * (3 * 135 + 16 * 16)  # pose blend + skinning
-    flops = 5 * 5120 * (778 * per_pt + mano_flops)
+    # executed MXU FLOPs of the fused skin+energy kernel (hand_energy_skin):
+    # SDF MLP + two-level silhouette one-hot contraction (HA*WP x HB per
+    # point; exact-selection work the MXU really runs) + in-kernel pose
+    # blend/skin dots, over the lane-padded VP=896 vertex tiles
+    sil_pt = 2 * (4 * (640 // 8)) * 120           # (HA*WP, HB) @ (HB, T)
+    mano_pt = 2 * (3 * 135 + 12 * 16) + 18        # blend + skin + obj-frame
+    per_pt = _mlp_flops_per_point(distilled) + sil_pt + mano_pt
+    flops = 5 * 5120 * 896 * per_pt
     tflops, mfu = _mfu(flops, dt)
     return {"ms_per_frame": round(1000.0 * dt, 2),
             "achieved_tflops": tflops, "mfu_vs_v5e_bf16_peak": mfu}

@@ -70,17 +70,11 @@ def pack_two_level(packed: jnp.ndarray, ha: int = HA) -> jnp.ndarray:
     return pt.reshape(wp, ha, hb).transpose(1, 0, 2).reshape(ha * wp, hb)
 
 
-def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
-                 rot_t_ref, rt_ref, freqs_ref, packed_ab_ref, wb,
-                 n_layers: int, h: int, w: int, compute_dtype=None,
-                 mask_dtype=jnp.bfloat16, ha: int = HA):
-    """Shared in-kernel energy math: camera-frame points x (3, T) ->
-    (sdf (T,), background hit (T,)). Used by both the plain fused kernel
-    (points from HBM) and the skinning kernel (points built in VMEM).
-    packed_ab_ref: pack_two_level output (ha*WP, HB)."""
-    # ---- object-frame SDF ----
-    obj = jnp.dot(rot_t_ref[:], x,
-                  preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
+def _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb, n_layers: int,
+                  compute_dtype=None):
+    """In-kernel distilled-SDF evaluation: object-frame points obj (3, T) ->
+    clamped sdf (T,). Fourier feature order matches sdf/distill._features
+    (x | sin per-axis f-minor | cos per-axis f-minor)."""
     s = scale_ref[0, 0]
     xo = obj * s
     f = freqs_ref[:]                                 # (F, 1)
@@ -99,7 +93,22 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
         if i < n_layers - 1:
             hcur = jnp.maximum(hcur, 0.0)
     c = clamp_ref[0, 0]
-    sdf = jnp.clip(hcur, -c, c)[0]
+    return jnp.clip(hcur, -c, c)[0]
+
+
+def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
+                 rot_t_ref, rt_ref, freqs_ref, packed_ab_ref, wb,
+                 n_layers: int, h: int, w: int, compute_dtype=None,
+                 mask_dtype=jnp.bfloat16, ha: int = HA):
+    """Shared in-kernel energy math: camera-frame points x (3, T) ->
+    (sdf (T,), background hit (T,)). Used by both the plain fused kernel
+    (points from HBM) and the skinning kernel (points built in VMEM).
+    packed_ab_ref: pack_two_level output (ha*WP, HB)."""
+    # ---- object-frame SDF ----
+    obj = jnp.dot(rot_t_ref[:], x,
+                  preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
+    sdf = _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb,
+                        n_layers, compute_dtype)
 
     # ---- silhouette hit ----
     t = x.shape[1]

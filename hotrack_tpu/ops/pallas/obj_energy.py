@@ -1,0 +1,185 @@
+"""Pallas TPU kernel: fused object-pose SDF energy — per-particle cloud
+transform + distilled-SDF MLP + |sdf| reduction in one pass.
+
+The object pose optimizer (opt/obj_pose.py, reference
+optimization_obj.py:230-237) evaluates mean|SDF(R^T(x - t))| over the
+observed cloud for 2048 candidate poses x 10 iterations. The XLA
+composition materializes the transformed cloud (P, 3, N) in HBM (~25 MB
+f32 per iteration), runs the SDF MLP kernel over it, writes the (P, N)
+sdf back to HBM, and reduces — ~50 MB of HBM round-trips per iteration
+that this kernel removes entirely: per particle-tile block it
+
+    obj_c(p) = sum_y rts[p, 3c+y] * pcld_y - rts[p, 9+c]   (VPU slabs)
+    sdf      = _sdf_mlp_core(obj)                          (MXU, VMEM)
+    out[p]   = sum_n |sdf|                                 (lane reduce)
+
+so only the (P,) energy sums ever reach HBM. rts holds the row-major R^T
+and R^T t per candidate (12 scalars, read from SMEM).
+
+vmap: any batched operand routes to a pure-JAX fallback (transform einsum +
+eval_distilled_sdf_cf, which handles batched per-sequence models) — the
+kernel itself only runs unbatched. Escape hatch: HOTRACK_NO_FUSED_OBJ=1
+keeps the XLA composition in opt/obj_pose.py.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hand_energy import _sdf_mlp_core
+
+import os as _os
+
+# particles per block (Mosaic: block second-to-minor dims 8-divisible) and
+# particles per in-block MLP batch (SUB*N activation tiles stay ~2 MB VMEM
+# at N=1024)
+TBLK = int(_os.environ.get("HOTRACK_OBJ_TILE", 8))
+SUB = int(_os.environ.get("HOTRACK_OBJ_SUB", 4))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
+                       *refs, n_layers: int, n_valid: int, tb: int,
+                       compute_dtype=None):
+    """Blocks: rts (TB, 12) SMEM scalars (row-major R^T | R^T t); pcld
+    (3, NP) fixed; freqs (F, 1); MLP weights/biases; output (TB, 1) SMEM
+    energy sums; scratch (3, SUB*NP) assembled object-frame points."""
+    out_ref, x_ref = refs[-2], refs[-1]
+    wb = refs[:-2]
+    np_ = pcld_ref.shape[1]
+    sub = min(SUB, tb)
+    pc = [pcld_ref[y:y + 1, :] for y in range(3)]           # 3 x (1, NP)
+    if n_valid != np_:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+        valid = (lane < n_valid).astype(jnp.float32)        # (1, NP)
+    else:
+        valid = None
+
+    for g in range(tb // sub):
+        for i in range(sub):
+            p = g * sub + i
+            for c in range(3):
+                acc = (pc[0] * rts_ref[p, 3 * c]
+                       + pc[1] * rts_ref[p, 3 * c + 1]
+                       + pc[2] * rts_ref[p, 3 * c + 2]
+                       - rts_ref[p, 9 + c])
+                x_ref[c:c + 1, i * np_:(i + 1) * np_] = acc
+        obj = x_ref[:]                                      # (3, SUB*NP)
+        sdf = _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb,
+                            n_layers, compute_dtype)        # (SUB*NP,)
+        absd = jnp.abs(sdf)[None]                           # (1, SUB*NP)
+        for i in range(sub):
+            seg = absd[:, i * np_:(i + 1) * np_]
+            if valid is not None:
+                seg = seg * valid
+            out_ref[g * sub + i, 0] = jnp.sum(seg)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _obj_impl(weights, biases, freqs, scale, clamp, pcld_cf, rts,
+              compute_dtype=None, interpret: bool = False):
+    p = rts.shape[0]
+    n = pcld_cf.shape[1]
+    n_pad = _round_up(n, 128)
+    if n_pad != n:
+        pcld_cf = jnp.pad(pcld_cf.astype(jnp.float32),
+                          ((0, 0), (0, n_pad - n)))
+    tb = TBLK
+    p_pad = _round_up(p, tb)
+    if p_pad != p:
+        rts = jnp.concatenate(
+            [rts, jnp.broadcast_to(rts[:1], (p_pad - p, 12))])
+
+    n_layers = len(weights)
+    freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
+    scalars = [jnp.reshape(v, (1, 1)).astype(jnp.float32)
+               for v in (scale, clamp)]
+    wb = []
+    for wgt, bia in zip(weights, biases):
+        wb.append(jnp.swapaxes(wgt.astype(jnp.float32), 0, 1))
+        wb.append(bia.reshape(-1, 1).astype(jnp.float32))
+
+    kernel = partial(_obj_energy_kernel, n_layers=n_layers, n_valid=n,
+                     tb=tb, compute_dtype=compute_dtype)
+    fixed = lambda i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(p_pad // tb,),
+        in_specs=[pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM)] * 2
+        + [
+            pl.BlockSpec((tb, 12), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),           # rts
+            pl.BlockSpec((3, n_pad), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec(freqs2.shape, fixed, memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(a.shape, fixed, memory_space=pltpu.VMEM)
+             for a in wb],
+        out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3, min(SUB, tb) * n_pad), jnp.float32)],
+        interpret=interpret,
+    )(*scalars, rts.astype(jnp.float32), pcld_cf.astype(jnp.float32),
+      freqs2, *wb)
+    return out[:p, 0]
+
+
+def obj_rts(rotations: jnp.ndarray, translations: jnp.ndarray) -> jnp.ndarray:
+    """Per-candidate (R (P,3,3), t (P,3,1) or (P,3)) -> rts (P, 12): the
+    row-major R^T followed by R^T t, the kernel's SMEM scalars."""
+    rot_t = jnp.swapaxes(rotations, -1, -2)
+    t = translations.reshape(translations.shape[0], 3, 1)
+    rt = jnp.matmul(rot_t, t)[..., 0]                       # (P, 3)
+    return jnp.concatenate([rot_t.reshape(-1, 9), rt], axis=-1)
+
+
+def fused_obj_sdf_energy(distilled, pcld_cf, rotations, translations,
+                         compute_dtype=None, interpret: bool = False):
+    """Sum_n |clamped-SDF(R_p^T (x_n - t_p))| per candidate pose ->
+    (P,). pcld_cf: observed cloud channels-first (3, N); divide by N for
+    the optimizer's mean-|sdf| energy."""
+    rts = obj_rts(rotations, translations)
+    return _obj_vmapped(compute_dtype, interpret)(
+        tuple(distilled.weights), tuple(distilled.biases), distilled.freqs,
+        distilled.scale, distilled.clamp, pcld_cf, rts)
+
+
+@lru_cache(maxsize=None)
+def _obj_vmapped(compute_dtype, interpret):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def fn(weights, biases, freqs, scale, clamp, pcld_cf, rts):
+        return _obj_impl(weights, biases, freqs, scale, clamp, pcld_cf, rts,
+                         compute_dtype=compute_dtype, interpret=interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        # pure-JAX reconstruction; eval_distilled_sdf_cf handles batched
+        # per-sequence models through its own kernel dispatch
+        from ...sdf.distill import DistilledSDF, eval_distilled_sdf_cf
+
+        def bcast(x, bt):
+            return x if bt else jnp.broadcast_to(x[None],
+                                                 (axis_size,) + x.shape)
+        (weights, biases, freqs, scale, clamp, pcld_cf, rts) = jax.tree.map(
+            bcast, args, tuple(in_batched))
+
+        rot_t = rts[..., :9].reshape(rts.shape[:-1] + (3, 3))  # (S, P, 3, 3)
+        rt = rts[..., 9:]                                      # (S, P, 3)
+        obj = (jnp.einsum("spij,sjn->spin", rot_t, pcld_cf)
+               - rt[..., None])                                # (S, P, 3, N)
+        sdf = jax.vmap(lambda ww, bb, ff, ss, cc, pp: eval_distilled_sdf_cf(
+            DistilledSDF(tuple(ww), tuple(bb), ff, ss, cc), pp,
+            compute_dtype=compute_dtype))(
+            weights, biases, freqs, scale, clamp, obj)         # (S, P, N)
+        return jnp.sum(jnp.abs(sdf), axis=-1), True
+
+    return fn

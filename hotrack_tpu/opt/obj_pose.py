@@ -37,6 +37,12 @@ OBJ_SPEC = ParticleSpec(iterations=10, scaling_coefficient2=2.0, beta=0.9,
 SCALING_COEFFICIENT1 = 0.02  # initial search size (optimization_obj.py:82)
 
 
+def _use_fused_obj() -> bool:
+    import os
+    return (jax.default_backend() == "tpu"
+            and not os.environ.get("HOTRACK_NO_FUSED_OBJ"))
+
+
 def _reproject_so3(r: jnp.ndarray) -> jnp.ndarray:
     """Gram-Schmidt the first two rows back onto SO(3)
     (optimization_obj.py:287-288: ortho6d of reshape(9)[:6], transposed)."""
@@ -76,6 +82,17 @@ def optimize_obj_pose(
         # Channels-first throughout: (P, 3, N) = R^T (x^T - t) — same math as
         # the reference's (x - t^T) R with the 3-axis kept off the TPU-lane-
         # padded minor position (see sdf/distill.eval_distilled_sdf_cf).
+        if distilled is not None and _use_fused_obj():
+            # one-kernel path (ops/pallas/obj_energy.py): transform + MLP +
+            # |sdf| reduction per particle tile — the (P, 3, N) transformed
+            # cloud and the (P, N) sdf never reach HBM
+            from ..ops.pallas.obj_energy import fused_obj_sdf_energy
+            from ..sdf.distill import sdf_compute_dtype
+            sums = fused_obj_sdf_energy(distilled, pcld_t, new_r,
+                                        new_t[..., 0],
+                                        compute_dtype=sdf_compute_dtype())
+            sdf_energy = sums / pcld.shape[0]            # (P,) mean |sdf|
+            return sdf_energy * 500.0, sdf_energy
         if distilled is not None:
             from ..sdf.distill import eval_distilled_sdf_cf, sdf_compute_dtype
             flat_cf = jnp.matmul(jnp.swapaxes(new_r, -1, -2),
