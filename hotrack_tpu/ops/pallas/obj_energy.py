@@ -14,7 +14,9 @@ that this kernel removes entirely: per particle-tile block it
     out[p]   = sum_n |sdf|                                 (lane reduce)
 
 so only the (P,) energy sums ever reach HBM. rts holds the row-major R^T
-and R^T t per candidate (12 scalars, read from SMEM).
+and R^T t per candidate, laid out role-major per block (row = r*TB + p)
+so every per-role access is a sublane-aligned (SUB, 1) slab — the same
+layout discipline as the skin kernel's rt_role.
 
 vmap: any batched operand routes to a pure-JAX fallback (transform einsum +
 eval_distilled_sdf_cf, which handles batched per-sequence models) — the
@@ -49,14 +51,18 @@ def _round_up(x: int, m: int) -> int:
 def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
                        *refs, n_layers: int, n_valid: int, tb: int,
                        compute_dtype=None):
-    """Blocks: rts (TB, 12) SMEM scalars (row-major R^T | R^T t); pcld
-    (3, NP) fixed; freqs (F, 1); MLP weights/biases; output (TB, 1) SMEM
-    energy sums; scratch (3, SUB*NP) assembled object-frame points."""
+    """Blocks: rts (1, 12*TB, 1) role-major (row = r*TB + p, r the row-major
+    R^T entry 0-8 then R^T t 9-11 — same sublane-aligned slab layout as the
+    skin kernel's rt_role); pcld (3, NP) fixed; freqs (F, 1); MLP
+    weights/biases; output (TB, 1) energy sums; scratch (3, SUB*NP)
+    assembled object-frame points."""
     out_ref, x_ref = refs[-2], refs[-1]
     wb = refs[:-2]
     np_ = pcld_ref.shape[1]
     sub = min(SUB, tb)
-    pc = [pcld_ref[y:y + 1, :] for y in range(3)]           # 3 x (1, NP)
+    rr = rts_ref[0]                                         # (12*TB, 1)
+    pc = [jnp.broadcast_to(pcld_ref[y:y + 1, :], (sub, np_))
+          for y in range(3)]                                # 3 x (SUB, NP)
     if n_valid != np_:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
         valid = (lane < n_valid).astype(jnp.float32)        # (1, NP)
@@ -64,14 +70,15 @@ def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
         valid = None
 
     for g in range(tb // sub):
-        for i in range(sub):
-            p = g * sub + i
-            for c in range(3):
-                acc = (pc[0] * rts_ref[p, 3 * c]
-                       + pc[1] * rts_ref[p, 3 * c + 1]
-                       + pc[2] * rts_ref[p, 3 * c + 2]
-                       - rts_ref[p, 9 + c])
-                x_ref[c:c + 1, i * np_:(i + 1) * np_] = acc
+        lo, hi = g * sub, (g + 1) * sub
+        for c in range(3):
+            acc = -rr[(9 + c) * tb + lo:(9 + c) * tb + hi, :]   # (SUB, 1)
+            acc = jnp.broadcast_to(acc, (sub, np_))
+            for y in range(3):
+                r = 3 * c + y
+                acc = acc + rr[r * tb + lo:r * tb + hi, :] * pc[y]
+            for i in range(sub):
+                x_ref[c:c + 1, i * np_:(i + 1) * np_] = acc[i:i + 1, :]
         obj = x_ref[:]                                      # (3, SUB*NP)
         sdf = _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb,
                             n_layers, compute_dtype)        # (SUB*NP,)
@@ -80,7 +87,8 @@ def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
             seg = absd[:, i * np_:(i + 1) * np_]
             if valid is not None:
                 seg = seg * valid
-            out_ref[g * sub + i, 0] = jnp.sum(seg)
+            p = g * sub + i
+            out_ref[p:p + 1, :] = jnp.sum(seg, axis=1, keepdims=True)
 
 
 @partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
@@ -97,6 +105,11 @@ def _obj_impl(weights, biases, freqs, scale, clamp, pcld_cf, rts,
     if p_pad != p:
         rts = jnp.concatenate(
             [rts, jnp.broadcast_to(rts[:1], (p_pad - p, 12))])
+    # role-major per block: row r*TB + p (see kernel docstring)
+    rts_role = (rts.astype(jnp.float32)
+                .reshape(p_pad // tb, tb, 12)
+                .transpose(0, 2, 1)
+                .reshape(p_pad // tb, 12 * tb, 1))
 
     n_layers = len(weights)
     freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
@@ -115,19 +128,18 @@ def _obj_impl(weights, biases, freqs, scale, clamp, pcld_cf, rts,
         grid=(p_pad // tb,),
         in_specs=[pl.BlockSpec((1, 1), fixed, memory_space=pltpu.SMEM)] * 2
         + [
-            pl.BlockSpec((tb, 12), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),           # rts
+            pl.BlockSpec((1, 12 * tb, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),           # rts_role
             pl.BlockSpec((3, n_pad), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec(freqs2.shape, fixed, memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(a.shape, fixed, memory_space=pltpu.VMEM)
              for a in wb],
         out_specs=pl.BlockSpec((tb, 1), lambda i: (i, 0),
-                               memory_space=pltpu.SMEM),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((3, min(SUB, tb) * n_pad), jnp.float32)],
         interpret=interpret,
-    )(*scalars, rts.astype(jnp.float32), pcld_cf.astype(jnp.float32),
-      freqs2, *wb)
+    )(*scalars, rts_role, pcld_cf.astype(jnp.float32), freqs2, *wb)
     return out[:p, 0]
 
 
