@@ -70,30 +70,29 @@ def pack_two_level(packed: jnp.ndarray, ha: int = HA) -> jnp.ndarray:
     return pt.reshape(wp, ha, hb).transpose(1, 0, 2).reshape(ha * wp, hb)
 
 
-def _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb, n_layers: int,
+def _sdf_mlp_core(obj, scale, clamp, freqs, wb, n_layers: int,
                   compute_dtype=None):
     """In-kernel distilled-SDF evaluation: object-frame points obj (3, T) ->
-    clamped sdf (T,). Fourier feature order matches sdf/distill._features
+    clamped sdf (T,). Takes VALUES (scale/clamp scalars, freqs (F, 1),
+    wb = [w0 (out,in), b0 (out,1), ...]) so callers squeeze their own block
+    layouts. Fourier feature order matches sdf/distill._features
     (x | sin per-axis f-minor | cos per-axis f-minor)."""
-    s = scale_ref[0, 0]
-    xo = obj * s
-    f = freqs_ref[:]                                 # (F, 1)
+    xo = obj * scale
     parts = [xo]
     for trig in (jnp.sin, jnp.cos):
         for c in range(3):
-            parts.append(trig(f * xo[c:c + 1, :]))
+            parts.append(trig(freqs * xo[c:c + 1, :]))
     hcur = jnp.concatenate(parts, axis=0)            # (3 + 6F, T)
     for i in range(n_layers):
-        wt = wb[2 * i][:]
-        b = wb[2 * i + 1][:]
+        wt = wb[2 * i]
+        b = wb[2 * i + 1]
         if compute_dtype is not None:
             hcur = hcur.astype(compute_dtype)
             wt = wt.astype(compute_dtype)
         hcur = jnp.dot(wt, hcur, preferred_element_type=jnp.float32) + b
         if i < n_layers - 1:
             hcur = jnp.maximum(hcur, 0.0)
-    c = clamp_ref[0, 0]
-    return jnp.clip(hcur, -c, c)[0]
+    return jnp.clip(hcur, -clamp, clamp)[0]
 
 
 def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
@@ -107,8 +106,8 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     # ---- object-frame SDF ----
     obj = jnp.dot(rot_t_ref[:], x,
                   preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
-    sdf = _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb,
-                        n_layers, compute_dtype)
+    sdf = _sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0], freqs_ref[:],
+                        [r[:] for r in wb], n_layers, compute_dtype)
 
     # ---- silhouette hit ----
     t = x.shape[1]

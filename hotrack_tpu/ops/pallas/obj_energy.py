@@ -80,7 +80,8 @@ def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
             for i in range(sub):
                 x_ref[c:c + 1, i * np_:(i + 1) * np_] = acc[i:i + 1, :]
         obj = x_ref[:]                                      # (3, SUB*NP)
-        sdf = _sdf_mlp_core(obj, scale_ref, clamp_ref, freqs_ref, wb,
+        sdf = _sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0],
+                            freqs_ref[:], [r[:] for r in wb],
                             n_layers, compute_dtype)        # (SUB*NP,)
         absd = jnp.abs(sdf)[None]                           # (1, SUB*NP)
         for i in range(sub):
@@ -163,6 +164,107 @@ def fused_obj_sdf_energy(distilled, pcld_cf, rotations, translations,
         distilled.scale, distilled.clamp, pcld_cf, rts)
 
 
+def _obj_energy_kernel_b(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
+                         *refs, n_layers: int, n_valid: int, tb: int,
+                         compute_dtype=None):
+    """Per-sequence grid step (grid (S, G)): same math as _obj_energy_kernel
+    with leading (1, ...) sequence-block dims squeezed; scale/clamp arrive
+    as (1, 1, 1) VMEM blocks (per-sequence SMEM scalars fail block rules —
+    see sdf_mlp._mlp_kernel_b)."""
+    out_ref, x_ref = refs[-2], refs[-1]
+    wb = refs[:-2]
+    np_ = pcld_ref.shape[2]
+    sub = min(SUB, tb)
+    rr = rts_ref[0]                                         # (12*TB, 1)
+    pcld = pcld_ref[0]                                      # (3, NP)
+    pc = [jnp.broadcast_to(pcld[y:y + 1, :], (sub, np_)) for y in range(3)]
+    if n_valid != np_:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+        valid = (lane < n_valid).astype(jnp.float32)
+    else:
+        valid = None
+
+    wb2 = [r[0] for r in wb]                                # squeeze (1,...)
+    for g in range(tb // sub):
+        lo, hi = g * sub, (g + 1) * sub
+        for c in range(3):
+            acc = -rr[(9 + c) * tb + lo:(9 + c) * tb + hi, :]
+            acc = jnp.broadcast_to(acc, (sub, np_))
+            for y in range(3):
+                r = 3 * c + y
+                acc = acc + rr[r * tb + lo:r * tb + hi, :] * pc[y]
+            for i in range(sub):
+                x_ref[c:c + 1, i * np_:(i + 1) * np_] = acc[i:i + 1, :]
+        obj = x_ref[:]
+        sdf = _sdf_mlp_core(obj, scale_ref[0, 0, 0], clamp_ref[0, 0, 0],
+                            freqs_ref[0], wb2, n_layers, compute_dtype)
+        absd = jnp.abs(sdf)[None]
+        for i in range(sub):
+            seg = absd[:, i * np_:(i + 1) * np_]
+            if valid is not None:
+                seg = seg * valid
+            p = g * sub + i
+            out_ref[0, p:p + 1, :] = jnp.sum(seg, axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _obj_impl_batched(weights, biases, freqs, scale, clamp, pcld_cf, rts,
+                      compute_dtype=None, interpret: bool = False):
+    """Per-sequence assets: every arg carries a leading S axis. One launch
+    with grid (S, G) instead of a sequential fallback."""
+    s_axis, p = rts.shape[0], rts.shape[1]
+    n = pcld_cf.shape[2]
+    n_pad = _round_up(n, 128)
+    if n_pad != n:
+        pcld_cf = jnp.pad(pcld_cf.astype(jnp.float32),
+                          ((0, 0), (0, 0), (0, n_pad - n)))
+    tb = TBLK
+    p_pad = _round_up(p, tb)
+    if p_pad != p:
+        rts = jnp.concatenate(
+            [rts, jnp.broadcast_to(rts[:, :1], (s_axis, p_pad - p, 12))],
+            axis=1)
+    g_axis = p_pad // tb
+    rts_role = (rts.astype(jnp.float32)
+                .reshape(s_axis * g_axis, tb, 12)
+                .transpose(0, 2, 1)
+                .reshape(s_axis * g_axis, 12 * tb, 1))
+
+    n_layers = len(weights)
+    freqs3 = freqs.reshape(s_axis, -1, 1).astype(jnp.float32)
+    scale2 = jnp.reshape(scale, (s_axis, 1, 1)).astype(jnp.float32)
+    clamp2 = jnp.reshape(clamp, (s_axis, 1, 1)).astype(jnp.float32)
+    wb = []
+    for w, b in zip(weights, biases):
+        wb.append(jnp.swapaxes(w.astype(jnp.float32), -1, -2))
+        wb.append(b.reshape(s_axis, -1, 1).astype(jnp.float32))
+
+    kernel = partial(_obj_energy_kernel_b, n_layers=n_layers, n_valid=n,
+                     tb=tb, compute_dtype=compute_dtype)
+    per_seq = lambda s, g: (s, 0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(s_axis, g_axis),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), per_seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), per_seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 12 * tb, 1),
+                         lambda s, g: (s * g_axis + g, 0, 0),
+                         memory_space=pltpu.VMEM),           # rts_role
+            pl.BlockSpec((1, 3, n_pad), per_seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + freqs3.shape[1:], per_seq,
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec((1,) + a.shape[1:], per_seq,
+                          memory_space=pltpu.VMEM) for a in wb],
+        out_specs=pl.BlockSpec((1, tb, 1), lambda s, g: (s, g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s_axis, p_pad, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((3, min(SUB, tb) * n_pad), jnp.float32)],
+        interpret=interpret,
+    )(scale2, clamp2, rts_role, pcld_cf.astype(jnp.float32), freqs3, *wb)
+    return out[:, :p, 0]
+
+
 @lru_cache(maxsize=None)
 def _obj_vmapped(compute_dtype, interpret):
     from jax import custom_batching
@@ -174,24 +276,16 @@ def _obj_vmapped(compute_dtype, interpret):
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
-        # pure-JAX reconstruction; eval_distilled_sdf_cf handles batched
-        # per-sequence models through its own kernel dispatch
-        from ...sdf.distill import DistilledSDF, eval_distilled_sdf_cf
-
+        # one batched-grid kernel launch (sequence s's grid steps read
+        # asset block s) instead of a sequential fallback
         def bcast(x, bt):
             return x if bt else jnp.broadcast_to(x[None],
                                                  (axis_size,) + x.shape)
         (weights, biases, freqs, scale, clamp, pcld_cf, rts) = jax.tree.map(
             bcast, args, tuple(in_batched))
-
-        rot_t = rts[..., :9].reshape(rts.shape[:-1] + (3, 3))  # (S, P, 3, 3)
-        rt = rts[..., 9:]                                      # (S, P, 3)
-        obj = (jnp.einsum("spij,sjn->spin", rot_t, pcld_cf)
-               - rt[..., None])                                # (S, P, 3, N)
-        sdf = jax.vmap(lambda ww, bb, ff, ss, cc, pp: eval_distilled_sdf_cf(
-            DistilledSDF(tuple(ww), tuple(bb), ff, ss, cc), pp,
-            compute_dtype=compute_dtype))(
-            weights, biases, freqs, scale, clamp, obj)         # (S, P, N)
-        return jnp.sum(jnp.abs(sdf), axis=-1), True
+        out = _obj_impl_batched(weights, biases, freqs, scale, clamp,
+                                pcld_cf, rts, compute_dtype=compute_dtype,
+                                interpret=interpret)
+        return out, True
 
     return fn
