@@ -38,9 +38,14 @@ SCALING_COEFFICIENT1 = 0.02  # initial search size (optimization_obj.py:82)
 
 
 def _use_fused_obj() -> bool:
+    # opt-in until the kernel's first on-device run (a TPU worker outage has
+    # blocked Mosaic validation; interpret-mode parity is green) — flip to
+    # opt-out once device numbers land
     import os
+    if os.environ.get("HOTRACK_NO_FUSED_OBJ"):
+        return False
     return (jax.default_backend() == "tpu"
-            and not os.environ.get("HOTRACK_NO_FUSED_OBJ"))
+            and bool(os.environ.get("HOTRACK_FUSED_OBJ")))
 
 
 def _reproject_so3(r: jnp.ndarray) -> jnp.ndarray:
