@@ -63,6 +63,39 @@ def test_fused_hand_energy_matches_separate():
     np.testing.assert_array_equal(np.asarray(hit), want_hit)
 
 
+def test_fused_hand_energy_twolevel_pad_path():
+    """h not divisible by the two-level HA=4 split (pack_two_level ceil-pads
+    HB): hit stays gather-exact, incl. boundary rows 0 / h-1 / HB edges."""
+    rng = np.random.default_rng(11)
+    h, w = 90, 128                       # hb = ceil(90/4) = 23, 2 pad rows
+    mask = rng.random((h, w)) > 0.5
+    packed = pack_mask(jnp.asarray(mask))
+    model = _model(12)
+    rot = jnp.eye(3)
+    trans = np.asarray([0.0, 0.0, 0.0], np.float32)
+    fx, fy, cx, cy = 120.0, 115.0, 64.0, 45.0
+
+    pts = rng.standard_normal((3, 256)).astype("float32") * 0.2
+    pts[2] = np.abs(pts[2]) + 0.4
+    # force exact boundary projections into the batch: iy = 0, h-1, and the
+    # hb-edge rows 22/23/45/46
+    z = pts[2]
+    for k, row in enumerate((0, h - 1, 22, 23, 45, 46, 68, 69)):
+        # +0.5 targets the cell centre so the f32 kernel and the f64 numpy
+        # oracle truncate to the same row
+        pts[1, k] = (row + 0.5 - cy) / fy * z[k]
+    pts_cf = jnp.asarray(pts)
+
+    sdf, hit = fused_hand_energy(
+        model, packed, rot, jnp.asarray(trans), jnp.float32(fx),
+        jnp.float32(fy), jnp.float32(cx), jnp.float32(cy), pts_cf, (h, w),
+        interpret=True)
+    want_sdf, want_hit = _reference(model, mask, rot, trans, fx, fy, cx, cy,
+                                    pts_cf, h, w)
+    np.testing.assert_allclose(np.asarray(sdf), want_sdf, atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(hit), want_hit)
+
+
 def test_fused_hand_energy_vmap_fallback():
     """Batched per-sequence assets route through the separate batched
     kernels; results equal per-item fused calls."""
