@@ -70,18 +70,57 @@ def pack_two_level(packed: jnp.ndarray, ha: int = HA) -> jnp.ndarray:
     return pt.reshape(wp, ha, hb).transpose(1, 0, 2).reshape(ha * wp, hb)
 
 
+def fourier_da_enabled(n_freqs: int) -> bool:
+    """Double-angle Fourier features: the distiller's frequencies are
+    geometric (pi * 2^k, sdf/distill.py:169), so sin/cos of the higher
+    octaves follow from the base by s' = 2sc, c' = 1 - 2s^2 — 6
+    transcendentals per point instead of 6F. The ~1e-6 recurrence error is
+    ~30x below the bf16 input rounding the MXU applies to the features
+    anyway. Requires the host-side first-layer permutation
+    (fourier_da_perm). Opt-in (HOTRACK_FOURIER_DA=1) until its first
+    on-device run; HOTRACK_NO_FOURIER_DA=1 forces classic regardless."""
+    if _os.environ.get("HOTRACK_NO_FOURIER_DA"):
+        return False
+    return n_freqs >= 2 and bool(_os.environ.get("HOTRACK_FOURIER_DA"))
+
+
+def fourier_da_perm(n_freqs: int):
+    """Input-feature permutation taking the classic order
+    (x | sin axis-major freq-minor | cos likewise) to the double-angle
+    kernel's (x | s_0 (3) | s_1 (3) | ... | c_0 (3) | ...): apply to the
+    first weight's input dim, w0T[:, perm]."""
+    perm = list(range(3))
+    for half in range(2):
+        for k in range(n_freqs):
+            for a in range(3):
+                perm.append(3 + half * 3 * n_freqs + a * n_freqs + k)
+    return perm
+
+
 def _sdf_mlp_core(obj, scale, clamp, freqs, wb, n_layers: int,
-                  compute_dtype=None):
+                  compute_dtype=None, fourier_da: bool = False):
     """In-kernel distilled-SDF evaluation: object-frame points obj (3, T) ->
     clamped sdf (T,). Takes VALUES (scale/clamp scalars, freqs (F, 1),
     wb = [w0 (out,in), b0 (out,1), ...]) so callers squeeze their own block
     layouts. Fourier feature order matches sdf/distill._features
-    (x | sin per-axis f-minor | cos per-axis f-minor)."""
+    (x | sin per-axis f-minor | cos per-axis f-minor); with fourier_da the
+    caller must have permuted w0's input dim by fourier_da_perm."""
     xo = obj * scale
-    parts = [xo]
-    for trig in (jnp.sin, jnp.cos):
-        for c in range(3):
-            parts.append(trig(freqs * xo[c:c + 1, :]))
+    if fourier_da:
+        n_freqs = freqs.shape[0]
+        a0 = freqs[0, 0] * xo                        # (3, T) base angles
+        s, c = jnp.sin(a0), jnp.cos(a0)
+        sins, coss = [s], [c]
+        for _ in range(1, n_freqs):
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+            sins.append(s)
+            coss.append(c)
+        parts = [xo] + sins + coss
+    else:
+        parts = [xo]
+        for trig in (jnp.sin, jnp.cos):
+            for c in range(3):
+                parts.append(trig(freqs * xo[c:c + 1, :]))
     hcur = jnp.concatenate(parts, axis=0)            # (3 + 6F, T)
     for i in range(n_layers):
         wt = wb[2 * i]
@@ -98,7 +137,8 @@ def _sdf_mlp_core(obj, scale, clamp, freqs, wb, n_layers: int,
 def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
                  rot_t_ref, rt_ref, freqs_ref, packed_ab_ref, wb,
                  n_layers: int, h: int, w: int, compute_dtype=None,
-                 mask_dtype=jnp.bfloat16, ha: int = HA):
+                 mask_dtype=jnp.bfloat16, ha: int = HA,
+                 fourier_da: bool = False):
     """Shared in-kernel energy math: camera-frame points x (3, T) ->
     (sdf (T,), background hit (T,)). Used by both the plain fused kernel
     (points from HBM) and the skinning kernel (points built in VMEM).
@@ -107,7 +147,8 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     obj = jnp.dot(rot_t_ref[:], x,
                   preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
     sdf = _sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0], freqs_ref[:],
-                        [r[:] for r in wb], n_layers, compute_dtype)
+                        [r[:] for r in wb], n_layers, compute_dtype,
+                        fourier_da=fourier_da)
 
     # ---- silhouette hit ----
     t = x.shape[1]
@@ -143,7 +184,7 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
 def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
                    pts_ref, rot_t_ref, rt_ref, freqs_ref, packed_ab_ref,
                    *refs, n_layers: int, h: int, w: int, compute_dtype=None,
-                   mask_dtype=jnp.bfloat16):
+                   mask_dtype=jnp.bfloat16, fourier_da: bool = False):
     """Blocks: pts (3, T); rot_t (8, 128)-padded (3, 3); rt (3, 1);
     freqs (F, 1); packed_ab (HA*WP, HB) two-level mask; weights (out, in) /
     biases (out, 1); outputs sdf (T,), hit (T,)."""
@@ -153,7 +194,8 @@ def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     sdf, hit = _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref,
                             cy_ref, rot_t_ref, rt_ref, freqs_ref,
                             packed_ab_ref, wb, n_layers, h, w,
-                            compute_dtype, mask_dtype)
+                            compute_dtype, mask_dtype,
+                            fourier_da=fourier_da)
     sdf_ref[:] = sdf
     hit_ref[:] = hit
 
@@ -196,9 +238,12 @@ def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
     for wgt, b in zip(weights, biases):
         wb.append(jnp.swapaxes(wgt.astype(jnp.float32), 0, 1))
         wb.append(b.reshape(-1, 1).astype(jnp.float32))
+    da = fourier_da_enabled(freqs2.shape[0])
+    if da:
+        wb[0] = wb[0][:, fourier_da_perm(freqs2.shape[0])]
 
     kernel = partial(_energy_kernel, n_layers=n_layers, h=h, w=w,
-                     compute_dtype=compute_dtype,
+                     compute_dtype=compute_dtype, fourier_da=da,
                      mask_dtype=jnp.float32 if interpret else jnp.bfloat16)
     fixed = lambda i: (0, 0)  # noqa: E731
     sdf, hit = pl.pallas_call(

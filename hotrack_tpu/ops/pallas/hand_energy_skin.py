@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hand_energy import _energy_core, fused_hand_energy, pack_two_level
+from .hand_energy import (_energy_core, fourier_da_enabled, fourier_da_perm,
+                          fused_hand_energy, pack_two_level)
 
 import os as _os
 
@@ -60,7 +61,8 @@ def _skin_energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
                         pose_ref, rtT_ref, off_ref, rot_t_ref, rt_ref,
                         freqs_ref, packed_ab_ref, posed_ref, vshap_ref, wT_ref,
                         *refs, n_layers: int, h: int, w: int, tb: int,
-                        compute_dtype=None, mask_dtype=jnp.bfloat16):
+                        compute_dtype=None, mask_dtype=jnp.bfloat16,
+                        fourier_da: bool = False):
     """Blocks: pose (TB, 135); rtT (1, 12*TB, 16) role-major (row = r*TB+p,
     prepared by _skin_impl so slab ops below are sublane-offset-aligned);
     off (TB, 3); fixed: rot_t (3, 3), rt (3, 1), freqs (F, 1),
@@ -100,7 +102,8 @@ def _skin_energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
         sdf, hit = _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref,
                                 cx_ref, cy_ref, rot_t_ref, rt_ref, freqs_ref,
                                 packed_ab_ref, wb, n_layers, h, w,
-                                compute_dtype, mask_dtype)
+                                compute_dtype, mask_dtype,
+                                fourier_da=fourier_da)
         sdf2 = sdf[None]
         hit2 = hit[None]
         for i in range(sub):
@@ -145,9 +148,12 @@ def _skin_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
     for wgt, bia in zip(weights, biases):
         wb.append(jnp.swapaxes(wgt.astype(jnp.float32), 0, 1))
         wb.append(bia.reshape(-1, 1).astype(jnp.float32))
+    da = fourier_da_enabled(freqs2.shape[0])
+    if da:
+        wb[0] = wb[0][:, fourier_da_perm(freqs2.shape[0])]
 
     kernel = partial(_skin_energy_kernel, n_layers=n_layers, h=h, w=w, tb=tb,
-                     compute_dtype=compute_dtype,
+                     compute_dtype=compute_dtype, fourier_da=da,
                      mask_dtype=jnp.float32 if interpret else jnp.bfloat16)
     fixed = lambda i: (0, 0)  # noqa: E731
     fixed3 = lambda i: (0, 0, 0)  # noqa: E731

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hand_energy import _sdf_mlp_core
+from .hand_energy import _sdf_mlp_core, fourier_da_enabled, fourier_da_perm
 
 import os as _os
 
@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
                        *refs, n_layers: int, n_valid: int, tb: int,
-                       compute_dtype=None):
+                       compute_dtype=None, fourier_da: bool = False):
     """Blocks: rts (1, 12*TB, 1) role-major (row = r*TB + p, r the row-major
     R^T entry 0-8 then R^T t 9-11 — same sublane-aligned slab layout as the
     skin kernel's rt_role); pcld (3, NP) fixed; freqs (F, 1); MLP
@@ -82,7 +82,8 @@ def _obj_energy_kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
         obj = x_ref[:]                                      # (3, SUB*NP)
         sdf = _sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0],
                             freqs_ref[:], [r[:] for r in wb],
-                            n_layers, compute_dtype)        # (SUB*NP,)
+                            n_layers, compute_dtype,
+                            fourier_da=fourier_da)          # (SUB*NP,)
         absd = jnp.abs(sdf)[None]                           # (1, SUB*NP)
         for i in range(sub):
             seg = absd[:, i * np_:(i + 1) * np_]
@@ -120,9 +121,12 @@ def _obj_impl(weights, biases, freqs, scale, clamp, pcld_cf, rts,
     for wgt, bia in zip(weights, biases):
         wb.append(jnp.swapaxes(wgt.astype(jnp.float32), 0, 1))
         wb.append(bia.reshape(-1, 1).astype(jnp.float32))
+    da = fourier_da_enabled(freqs2.shape[0])
+    if da:
+        wb[0] = wb[0][:, fourier_da_perm(freqs2.shape[0])]
 
     kernel = partial(_obj_energy_kernel, n_layers=n_layers, n_valid=n,
-                     tb=tb, compute_dtype=compute_dtype)
+                     tb=tb, compute_dtype=compute_dtype, fourier_da=da)
     fixed = lambda i: (0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,
@@ -166,7 +170,7 @@ def fused_obj_sdf_energy(distilled, pcld_cf, rotations, translations,
 
 def _obj_energy_kernel_b(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
                          *refs, n_layers: int, n_valid: int, tb: int,
-                         compute_dtype=None):
+                         compute_dtype=None, fourier_da: bool = False):
     """Per-sequence grid step (grid (S, G)): same math as _obj_energy_kernel
     with leading (1, ...) sequence-block dims squeezed; scale/clamp arrive
     as (1, 1, 1) VMEM blocks (per-sequence SMEM scalars fail block rules —
@@ -197,7 +201,8 @@ def _obj_energy_kernel_b(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
                 x_ref[c:c + 1, i * np_:(i + 1) * np_] = acc[i:i + 1, :]
         obj = x_ref[:]
         sdf = _sdf_mlp_core(obj, scale_ref[0, 0, 0], clamp_ref[0, 0, 0],
-                            freqs_ref[0], wb2, n_layers, compute_dtype)
+                            freqs_ref[0], wb2, n_layers, compute_dtype,
+                            fourier_da=fourier_da)
         absd = jnp.abs(sdf)[None]
         for i in range(sub):
             seg = absd[:, i * np_:(i + 1) * np_]
@@ -238,9 +243,12 @@ def _obj_impl_batched(weights, biases, freqs, scale, clamp, pcld_cf, rts,
     for w, b in zip(weights, biases):
         wb.append(jnp.swapaxes(w.astype(jnp.float32), -1, -2))
         wb.append(b.reshape(s_axis, -1, 1).astype(jnp.float32))
+    da = fourier_da_enabled(freqs3.shape[1])
+    if da:
+        wb[0] = wb[0][:, :, fourier_da_perm(freqs3.shape[1])]
 
     kernel = partial(_obj_energy_kernel_b, n_layers=n_layers, n_valid=n,
-                     tb=tb, compute_dtype=compute_dtype)
+                     tb=tb, compute_dtype=compute_dtype, fourier_da=da)
     per_seq = lambda s, g: (s, 0, 0)  # noqa: E731
     out = pl.pallas_call(
         kernel,

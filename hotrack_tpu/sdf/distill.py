@@ -25,7 +25,13 @@ import jax.numpy as jnp
 
 
 class DistilledSDF(NamedTuple):
-    """MLP params + input scaling. A valid pytree."""
+    """MLP params + input scaling. A valid pytree.
+
+    INVARIANT: freqs must be geometric (f0 * 2^k, as distill_sdf_volume
+    produces) — the TPU kernels compute the higher Fourier octaves by
+    double-angle recurrence from f0 (ops/pallas/hand_energy.py
+    fourier_da_enabled). For a hand-built model with non-geometric freqs set
+    HOTRACK_NO_FOURIER_DA=1."""
 
     weights: tuple          # ((in, h), (h, h), ..., (h, 1)) kernels
     biases: tuple

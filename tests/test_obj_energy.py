@@ -72,3 +72,33 @@ def test_fused_obj_energy_vmap_fallback():
                                     interpret=True)
         np.testing.assert_allclose(np.asarray(got[s]), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fourier_double_angle_bound():
+    """The double-angle Fourier path deviates from classic sin/cos by far
+    less than the bf16 rounding the MXU applies to features on TPU."""
+    import os
+    from hotrack_tpu.ops.pallas.obj_energy import _obj_impl
+
+    model = _distilled(21)
+    rng = np.random.default_rng(22)
+    pcld_cf = jnp.asarray(rng.standard_normal((3, 256)).astype("float32") * 0.1)
+    rot, t = _poses(16, seed=23)
+    from hotrack_tpu.ops.pallas.obj_energy import obj_rts
+    rts = obj_rts(rot, t)
+    args = (tuple(model.weights), tuple(model.biases), model.freqs,
+            model.scale, model.clamp, pcld_cf, rts)
+    os.environ["HOTRACK_FOURIER_DA"] = "1"
+    try:
+        _obj_impl.clear_cache()
+        da = _obj_impl(*args, interpret=True)
+    finally:
+        del os.environ["HOTRACK_FOURIER_DA"]
+    _obj_impl.clear_cache()
+    classic = _obj_impl(*args, interpret=True)
+    _obj_impl.clear_cache()
+    # per-point sdf deviation bound ~1e-6; sums over 256 points stay < 1e-4
+    np.testing.assert_allclose(np.asarray(da), np.asarray(classic),
+                               atol=1e-4, rtol=1e-5)
+    assert not np.array_equal(np.asarray(da), np.asarray(classic)), \
+        "DA path did not engage"
