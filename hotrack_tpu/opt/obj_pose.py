@@ -38,14 +38,14 @@ SCALING_COEFFICIENT1 = 0.02  # initial search size (optimization_obj.py:82)
 
 
 def _use_fused_obj() -> bool:
-    # opt-in until the kernel's first on-device run (a TPU worker outage has
-    # blocked Mosaic validation; interpret-mode parity is green) — flip to
-    # opt-out once device numbers land
+    # default-on since its first on-device run (2026-08-18): 27.7 -> 25.6
+    # ms/frame at the 2048x1024x10 operating point, device energy parity vs
+    # the composed path max-rel 2.6e-3 (bf16 MXU rounding order), argmin
+    # candidate identical — see BENCHMARKS.md "fused obj energy on device"
     import os
     if os.environ.get("HOTRACK_NO_FUSED_OBJ"):
         return False
-    return (jax.default_backend() == "tpu"
-            and bool(os.environ.get("HOTRACK_FUSED_OBJ")))
+    return jax.default_backend() == "tpu"
 
 
 def _reproject_so3(r: jnp.ndarray) -> jnp.ndarray:
