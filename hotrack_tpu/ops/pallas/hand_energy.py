@@ -59,15 +59,35 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pack_two_level(packed: jnp.ndarray, ha: int = HA) -> jnp.ndarray:
+def pack_two_level(packed: jnp.ndarray, ha: int = HA,
+                   int8: bool = False) -> jnp.ndarray:
     """(H, WP) f32 words from mask_lookup.pack_mask -> (ha*WP, HB) operand
     for the fused kernels: row a*WP + wp, column b holds packed[a*HB+b, wp]
-    (zero rows pad H up to ha*HB)."""
+    (zero rows pad H up to ha*HB).
+
+    int8=True stores word-128 as int8 (exact: words are 8-bit integers
+    0..255). The kernels' one-hot contraction then runs s8 x s8 -> s32 on
+    the MXU at 2x the bf16 rate (v5e: 394 TOPS vs 197 TFLOP/s), and the -128
+    offset is restored on the final selected word (every one-hot column has
+    exactly one nonzero, so each output entry is one offset word)."""
     h, wp = packed.shape
     hb = -(-h // ha)
     pt = jnp.swapaxes(packed.astype(jnp.float32), 0, 1)       # (WP, H)
     pt = jnp.pad(pt, ((0, 0), (0, ha * hb - h)))
-    return pt.reshape(wp, ha, hb).transpose(1, 0, 2).reshape(ha * wp, hb)
+    out = pt.reshape(wp, ha, hb).transpose(1, 0, 2).reshape(ha * wp, hb)
+    if int8:
+        out = (out - 128.0).astype(jnp.int8)
+    return out
+
+
+def sil_int8_enabled() -> bool:
+    """int8 silhouette contraction (see pack_two_level). Opt-in
+    (HOTRACK_SIL_I8=1) until its first on-device Mosaic run; exactness does
+    not depend on the dtype (offset trick above), so interpret-mode parity
+    covers it too."""
+    if _os.environ.get("HOTRACK_NO_SIL_I8"):
+        return False
+    return bool(_os.environ.get("HOTRACK_SIL_I8"))
 
 
 def fourier_da_enabled(n_freqs: int) -> bool:
@@ -77,11 +97,15 @@ def fourier_da_enabled(n_freqs: int) -> bool:
     transcendentals per point instead of 6F. The ~1e-6 recurrence error is
     ~30x below the bf16 input rounding the MXU applies to the features
     anyway. Requires the host-side first-layer permutation
-    (fourier_da_perm). Opt-in (HOTRACK_FOURIER_DA=1) until its first
-    on-device run; HOTRACK_NO_FOURIER_DA=1 forces classic regardless."""
+    (fourier_da_perm). Default-on since its first on-device runs
+    (2026-08-18): handopt 44.4 -> 35.3 ms/frame with BIT-IDENTICAL
+    converged energy and final kp, objopt 25.5 -> 19.7 — Mosaic sin/cos
+    are expensive multi-op VPU sequences, so cutting 6F -> 6 of them
+    dominates both stages (BENCHMARKS.md "double-angle Fourier").
+    HOTRACK_NO_FOURIER_DA=1 forces classic."""
     if _os.environ.get("HOTRACK_NO_FOURIER_DA"):
         return False
-    return n_freqs >= 2 and bool(_os.environ.get("HOTRACK_FOURIER_DA"))
+    return n_freqs >= 2
 
 
 def fourier_da_perm(n_freqs: int):
@@ -162,18 +186,33 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     a_idx = iy // hb
     b_idx = iy - a_idx * hb
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (hb, t), 0)
-    # bf16 on TPU (words < 256 are bf16-exact); f32 in interpret mode
-    onehot_b = (rows_b == b_idx).astype(mask_dtype)               # (HB, T)
-    x_ab = jnp.dot(packed_ab_ref[:].astype(mask_dtype), onehot_b,
-                   preferred_element_type=jnp.float32)            # (ha*WP, T)
-    # a-level select: ha slab-fmas (exact — one nonzero slab per column)
-    row_words = x_ab[0:wp, :] * (a_idx == 0).astype(jnp.float32)
-    for a in range(1, ha):
-        row_words = row_words + (x_ab[a * wp:(a + 1) * wp, :]
-                                 * (a_idx == a).astype(jnp.float32))
     cols = jax.lax.broadcasted_iota(jnp.int32, (wp, t), 0)
-    onehot_w = (cols == ix // BITS).astype(jnp.float32)
-    word = jnp.sum(row_words * onehot_w, axis=0, keepdims=True)   # (1, T)
+    if packed_ab_ref.dtype == jnp.int8:
+        # s8 x s8 -> s32 at 2x the bf16 MXU rate; words stored offset by
+        # -128 (pack_two_level int8=True). The selects run in int32 and the
+        # offset is restored on the final (1, T) word — exact throughout.
+        onehot_b = (rows_b == b_idx).astype(jnp.int8)             # (HB, T)
+        x_ab = jnp.dot(packed_ab_ref[:], onehot_b,
+                       preferred_element_type=jnp.int32)          # (ha*WP, T)
+        row_words = x_ab[0:wp, :] * (a_idx == 0).astype(jnp.int32)
+        for a in range(1, ha):
+            row_words = row_words + (x_ab[a * wp:(a + 1) * wp, :]
+                                     * (a_idx == a).astype(jnp.int32))
+        onehot_w = (cols == ix // BITS).astype(jnp.int32)
+        word = (jnp.sum(row_words * onehot_w, axis=0, keepdims=True)
+                + 128).astype(jnp.float32)                        # (1, T)
+    else:
+        # bf16 on TPU (words < 256 are bf16-exact); f32 in interpret mode
+        onehot_b = (rows_b == b_idx).astype(mask_dtype)           # (HB, T)
+        x_ab = jnp.dot(packed_ab_ref[:].astype(mask_dtype), onehot_b,
+                       preferred_element_type=jnp.float32)        # (ha*WP, T)
+        # a-level select: ha slab-fmas (exact — one nonzero slab per column)
+        row_words = x_ab[0:wp, :] * (a_idx == 0).astype(jnp.float32)
+        for a in range(1, ha):
+            row_words = row_words + (x_ab[a * wp:(a + 1) * wp, :]
+                                     * (a_idx == a).astype(jnp.float32))
+        onehot_w = (cols == ix // BITS).astype(jnp.float32)
+        word = jnp.sum(row_words * onehot_w, axis=0, keepdims=True)  # (1, T)
     b = (ix % BITS).astype(jnp.float32)
     hi = jnp.floor(word * jnp.exp2(-b))
     hi2 = jnp.floor(word * jnp.exp2(-(b + 1.0)))
@@ -230,7 +269,8 @@ def _fused_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
 
     n_layers = len(weights)
     freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
-    packed_ab = pack_two_level(packed)                          # (HA*WP, HB)
+    packed_ab = pack_two_level(packed,
+                               int8=sil_int8_enabled())         # (HA*WP, HB)
     scalars = [jnp.reshape(v, (1, 1)).astype(jnp.float32)
                for v in (scale, clamp, fx, fy, cx, cy)]
     rt2 = jnp.reshape(rt, (3, 1)).astype(jnp.float32)

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .hand_energy import (_energy_core, fourier_da_enabled, fourier_da_perm,
-                          fused_hand_energy, pack_two_level)
+                          fused_hand_energy, pack_two_level, sil_int8_enabled)
 
 import os as _os
 
@@ -139,7 +139,8 @@ def _skin_impl(weights, biases, freqs, scale, clamp, packed, rot_t, rt,
 
     n_layers = len(weights)
     freqs2 = freqs.reshape(-1, 1).astype(jnp.float32)
-    packed_ab = pack_two_level(packed)                          # (HA*WP, HB)
+    packed_ab = pack_two_level(packed,
+                               int8=sil_int8_enabled())         # (HA*WP, HB)
     scalars = [jnp.reshape(v, (1, 1)).astype(jnp.float32)
                for v in (scale, clamp, fx, fy, cx, cy)]
     rt2 = jnp.reshape(rt, (3, 1)).astype(jnp.float32)

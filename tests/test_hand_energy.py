@@ -183,3 +183,40 @@ def test_fused_hand_energy_cbv_layouts():
                                    np.asarray(want_b[0]), atol=3e-5)
         np.testing.assert_array_equal(np.asarray(got_b[1][s]),
                                       np.asarray(want_b[1]))
+
+
+def test_fused_hand_energy_int8_silhouette_exact():
+    """HOTRACK_SIL_I8=1 (s8 x s8 -> s32 one-hot contraction, -128 word
+    offset) stays gather-exact, incl. forced boundary-row projections."""
+    import os
+    from hotrack_tpu.ops.pallas.hand_energy import _fused_impl
+
+    rng = np.random.default_rng(21)
+    h, w = 90, 128
+    mask = rng.random((h, w)) > 0.5
+    packed = pack_mask(jnp.asarray(mask))
+    model = _model(22)
+    rot = jnp.eye(3)
+    trans = np.asarray([0.0, 0.0, 0.0], np.float32)
+    fx, fy, cx, cy = 120.0, 115.0, 64.0, 45.0
+
+    pts = rng.standard_normal((3, 256)).astype("float32") * 0.2
+    pts[2] = np.abs(pts[2]) + 0.4
+    z = pts[2]
+    for k, row in enumerate((0, h - 1, 22, 23, 45, 46, 68, 69)):
+        pts[1, k] = (row + 0.5 - cy) / fy * z[k]
+    pts_cf = jnp.asarray(pts)
+
+    args = (model, packed, rot, jnp.asarray(trans), jnp.float32(fx),
+            jnp.float32(fy), jnp.float32(cx), jnp.float32(cy), pts_cf, (h, w))
+    os.environ["HOTRACK_SIL_I8"] = "1"
+    try:
+        _fused_impl.clear_cache()
+        sdf, hit = fused_hand_energy(*args, interpret=True)
+    finally:
+        del os.environ["HOTRACK_SIL_I8"]
+    _fused_impl.clear_cache()
+    want_sdf, want_hit = _reference(model, mask, rot, trans, fx, fy, cx, cy,
+                                    pts_cf, h, w)
+    np.testing.assert_allclose(np.asarray(sdf), want_sdf, atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(hit), want_hit)

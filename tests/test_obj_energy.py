@@ -88,14 +88,14 @@ def test_fourier_double_angle_bound():
     rts = obj_rts(rot, t)
     args = (tuple(model.weights), tuple(model.biases), model.freqs,
             model.scale, model.clamp, pcld_cf, rts)
-    os.environ["HOTRACK_FOURIER_DA"] = "1"
+    _obj_impl.clear_cache()
+    da = _obj_impl(*args, interpret=True)  # DA is the default
+    os.environ["HOTRACK_NO_FOURIER_DA"] = "1"
     try:
         _obj_impl.clear_cache()
-        da = _obj_impl(*args, interpret=True)
+        classic = _obj_impl(*args, interpret=True)
     finally:
-        del os.environ["HOTRACK_FOURIER_DA"]
-    _obj_impl.clear_cache()
-    classic = _obj_impl(*args, interpret=True)
+        del os.environ["HOTRACK_NO_FOURIER_DA"]
     _obj_impl.clear_cache()
     # per-point sdf deviation bound ~1e-6; sums over 256 points stay < 1e-4
     np.testing.assert_allclose(np.asarray(da), np.asarray(classic),
