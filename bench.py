@@ -217,7 +217,9 @@ def bench_handopt(mano):
     # executed MXU FLOPs of the fused skin+energy kernel (hand_energy_skin):
     # SDF MLP + two-level silhouette one-hot contraction (HA*WP x HB per
     # point; exact-selection work the MXU really runs) + in-kernel pose
-    # blend/skin dots, over the lane-padded VP=896 vertex tiles
+    # blend/skin dots, over the lane-padded VP=896 vertex tiles. The
+    # silhouette term runs s8 x s8 -> s32 (2x the bf16 rate), so the MFU
+    # quoted vs the bf16 peak is conservative for that slab.
     sil_pt = 2 * (4 * (640 // 8)) * 120           # (HA*WP, HB) @ (HB, T)
     mano_pt = 2 * (3 * 135 + 12 * 16) + 18        # blend + skin + obj-frame
     per_pt = _mlp_flops_per_point(distilled) + sil_pt + mano_pt

@@ -81,13 +81,13 @@ def pack_two_level(packed: jnp.ndarray, ha: int = HA,
 
 
 def sil_int8_enabled() -> bool:
-    """int8 silhouette contraction (see pack_two_level). Opt-in
-    (HOTRACK_SIL_I8=1) until its first on-device Mosaic run; exactness does
-    not depend on the dtype (offset trick above), so interpret-mode parity
-    covers it too."""
-    if _os.environ.get("HOTRACK_NO_SIL_I8"):
-        return False
-    return bool(_os.environ.get("HOTRACK_SIL_I8"))
+    """int8 silhouette contraction (see pack_two_level). Default-on since
+    its first on-device runs (2026-08-18): handopt 34.8 -> 30.9 ms/frame
+    with BIT-IDENTICAL converged energy and final kp — the s8 contraction
+    is exact by construction, so only speed changes. Exactness does not
+    depend on the dtype (offset trick above), so interpret-mode parity
+    covers it too. HOTRACK_NO_SIL_I8=1 restores the bf16 contraction."""
+    return not _os.environ.get("HOTRACK_NO_SIL_I8")
 
 
 def fourier_da_enabled(n_freqs: int) -> bool:

@@ -186,8 +186,10 @@ def test_fused_hand_energy_cbv_layouts():
 
 
 def test_fused_hand_energy_int8_silhouette_exact():
-    """HOTRACK_SIL_I8=1 (s8 x s8 -> s32 one-hot contraction, -128 word
-    offset) stays gather-exact, incl. forced boundary-row projections."""
+    """The default int8 silhouette (s8 x s8 -> s32 one-hot contraction,
+    -128 word offset) stays gather-exact, incl. forced boundary-row
+    projections, and matches the bf16 path (HOTRACK_NO_SIL_I8=1)
+    bit-for-bit."""
     import os
     from hotrack_tpu.ops.pallas.hand_energy import _fused_impl
 
@@ -209,14 +211,18 @@ def test_fused_hand_energy_int8_silhouette_exact():
 
     args = (model, packed, rot, jnp.asarray(trans), jnp.float32(fx),
             jnp.float32(fy), jnp.float32(cx), jnp.float32(cy), pts_cf, (h, w))
-    os.environ["HOTRACK_SIL_I8"] = "1"
+    _fused_impl.clear_cache()
+    sdf, hit = fused_hand_energy(*args, interpret=True)  # int8 is the default
+    os.environ["HOTRACK_NO_SIL_I8"] = "1"
     try:
         _fused_impl.clear_cache()
-        sdf, hit = fused_hand_energy(*args, interpret=True)
+        sdf_bf, hit_bf = fused_hand_energy(*args, interpret=True)
     finally:
-        del os.environ["HOTRACK_SIL_I8"]
+        del os.environ["HOTRACK_NO_SIL_I8"]
     _fused_impl.clear_cache()
     want_sdf, want_hit = _reference(model, mask, rot, trans, fx, fy, cx, cy,
                                     pts_cf, h, w)
     np.testing.assert_allclose(np.asarray(sdf), want_sdf, atol=3e-5)
     np.testing.assert_array_equal(np.asarray(hit), want_hit)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(hit_bf))
+    np.testing.assert_array_equal(np.asarray(sdf), np.asarray(sdf_bf))
