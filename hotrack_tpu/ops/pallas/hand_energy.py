@@ -158,41 +158,43 @@ def _sdf_mlp_core(obj, scale, clamp, freqs, wb, n_layers: int,
     return jnp.clip(hcur, -clamp, clamp)[0]
 
 
-def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
-                 rot_t_ref, rt_ref, freqs_ref, packed_ab_ref, wb,
+def _energy_core(x, scale, clamp, fx, fy, cx, cy,
+                 rot_t, rt, freqs, packed_ab, wb,
                  n_layers: int, h: int, w: int, compute_dtype=None,
                  mask_dtype=jnp.bfloat16, ha: int = HA,
                  fourier_da: bool = False):
     """Shared in-kernel energy math: camera-frame points x (3, T) ->
-    (sdf (T,), background hit (T,)). Used by both the plain fused kernel
-    (points from HBM) and the skinning kernel (points built in VMEM).
-    packed_ab_ref: pack_two_level output (ha*WP, HB)."""
+    (sdf (T,), background hit (T,)). Used by the plain fused kernel
+    (points from HBM), the skinning kernel (points built in VMEM), and
+    their batched (S, G)-grid variants — callers load VALUES from their own
+    block layouts (scalars, rot_t (3, 3), rt (3, 1), freqs (F, 1),
+    packed_ab = pack_two_level output (ha*WP, HB), wb value list)."""
     # ---- object-frame SDF ----
-    obj = jnp.dot(rot_t_ref[:], x,
-                  preferred_element_type=jnp.float32) - rt_ref[:]   # (3, T)
-    sdf = _sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0], freqs_ref[:],
-                        [r[:] for r in wb], n_layers, compute_dtype,
+    obj = jnp.dot(rot_t, x,
+                  preferred_element_type=jnp.float32) - rt        # (3, T)
+    sdf = _sdf_mlp_core(obj, scale, clamp, freqs,
+                        wb, n_layers, compute_dtype,
                         fourier_da=fourier_da)
 
     # ---- silhouette hit ----
     t = x.shape[1]
     z = x[2:3, :]
-    iy = jnp.clip((x[1:2, :] / z * fy_ref[0, 0]
-                   + cy_ref[0, 0]).astype(jnp.int32), 0, h - 1)   # (1, T)
-    ix = jnp.clip((x[0:1, :] / z * fx_ref[0, 0]
-                   + cx_ref[0, 0]).astype(jnp.int32), 0, w - 1)
-    hawp, hb = packed_ab_ref.shape
+    iy = jnp.clip((x[1:2, :] / z * fy
+                   + cy).astype(jnp.int32), 0, h - 1)             # (1, T)
+    ix = jnp.clip((x[0:1, :] / z * fx
+                   + cx).astype(jnp.int32), 0, w - 1)
+    hawp, hb = packed_ab.shape
     wp = hawp // ha
     a_idx = iy // hb
     b_idx = iy - a_idx * hb
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (hb, t), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (wp, t), 0)
-    if packed_ab_ref.dtype == jnp.int8:
+    if packed_ab.dtype == jnp.int8:
         # s8 x s8 -> s32 at 2x the bf16 MXU rate; words stored offset by
         # -128 (pack_two_level int8=True). The selects run in int32 and the
         # offset is restored on the final (1, T) word — exact throughout.
         onehot_b = (rows_b == b_idx).astype(jnp.int8)             # (HB, T)
-        x_ab = jnp.dot(packed_ab_ref[:], onehot_b,
+        x_ab = jnp.dot(packed_ab, onehot_b,
                        preferred_element_type=jnp.int32)          # (ha*WP, T)
         row_words = x_ab[0:wp, :] * (a_idx == 0).astype(jnp.int32)
         for a in range(1, ha):
@@ -204,7 +206,7 @@ def _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     else:
         # bf16 on TPU (words < 256 are bf16-exact); f32 in interpret mode
         onehot_b = (rows_b == b_idx).astype(mask_dtype)           # (HB, T)
-        x_ab = jnp.dot(packed_ab_ref[:].astype(mask_dtype), onehot_b,
+        x_ab = jnp.dot(packed_ab.astype(mask_dtype), onehot_b,
                        preferred_element_type=jnp.float32)        # (ha*WP, T)
         # a-level select: ha slab-fmas (exact — one nonzero slab per column)
         row_words = x_ab[0:wp, :] * (a_idx == 0).astype(jnp.float32)
@@ -230,9 +232,11 @@ def _energy_kernel(scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref, cy_ref,
     sdf_ref, hit_ref = refs[-2], refs[-1]
     wb = refs[:-2]
     x = pts_ref[:]                                   # (3, T) camera frame
-    sdf, hit = _energy_core(x, scale_ref, clamp_ref, fx_ref, fy_ref, cx_ref,
-                            cy_ref, rot_t_ref, rt_ref, freqs_ref,
-                            packed_ab_ref, wb, n_layers, h, w,
+    sdf, hit = _energy_core(x, scale_ref[0, 0], clamp_ref[0, 0],
+                            fx_ref[0, 0], fy_ref[0, 0], cx_ref[0, 0],
+                            cy_ref[0, 0], rot_t_ref[:], rt_ref[:],
+                            freqs_ref[:], packed_ab_ref[:],
+                            [r[:] for r in wb], n_layers, h, w,
                             compute_dtype, mask_dtype,
                             fourier_da=fourier_da)
     sdf_ref[:] = sdf

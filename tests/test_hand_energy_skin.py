@@ -100,8 +100,9 @@ def test_fused_skin_kernel_matches_composed():
 
 
 def test_fused_skin_vmap_fallback():
-    """Batched (vmapped) calls route through the pure-JAX reconstruction +
-    fused_hand_energy and agree with per-item kernel calls."""
+    """Batched (vmapped) calls launch the (S, G)-grid batched kernel by
+    default — pinned against per-item kernel calls — and the pure-JAX
+    reconstruction escape hatch (HOTRACK_NO_FUSED_SKIN_B=1) agrees too."""
     mano, pose, trans, shaped = _setup(b=4)
     rng = np.random.default_rng(5)
     h, w = 64, 80
