@@ -143,12 +143,13 @@ def eval_distilled_sdf_cf(model: DistilledSDF, points_cf: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("steps", "batch", "hidden", "depth",
-                                   "max_freqs"))
+                                   "max_freqs", "pool_batches"))
 def distill_sdf_volume(volume: jnp.ndarray, voxel_scale: float,
                        key: jax.Array, steps: int = 4000, batch: int = 8192,
                        clamp: float = 0.05, lr: float = 2e-3,
                        hidden: int | None = None, depth: int | None = None,
-                       max_freqs: int | None = None) -> DistilledSDF:
+                       max_freqs: int | None = None,
+                       pool_batches: int = 64) -> DistilledSDF:
     """Fit the MLP to a baked volume (V, V, V) @ voxel_scale centred at 0.
 
     Adam on *continuous* minibatches against the trilinear interpolant (the
@@ -158,6 +159,18 @@ def distill_sdf_volume(volume: jnp.ndarray, voxel_scale: float,
     of the clamped volume is a flat +-clamp plateau. Fourier frequencies are
     capped at the grid Nyquist (shortest wavelength >= 4 voxels). One jitted
     fori_loop.
+
+    `pool_batches` (default 64): samples + trilinear targets are drawn as ONE
+    vectorized pool of `pool_batches * batch` points up front, and each Adam
+    step takes random *contiguous* slices (per half, preserving the exact
+    uniform/near-surface mix). Per-step fresh sampling (`pool_batches=0`,
+    the pre-round-2 behaviour) pays a 22-deep searchsorted gather chain plus
+    8 trilinear gathers per point every step — on TPU those random HBM
+    gathers dominated the whole distillation (~4.7 s of the ~5 s); pooling
+    does the same gather work once (~1/steps of it) and leaves the loop pure
+    MXU/VPU. Statistically the pool revisits each i.i.d. sample ~steps/
+    pool_batches times against a deterministic regression target (measured
+    accuracy-neutral at the production budget: see BENCHMARKS.md).
     """
     import math
 
@@ -190,33 +203,32 @@ def distill_sdf_volume(volume: jnp.ndarray, voxel_scale: float,
     near_cdf = jnp.cumsum(near_w / jnp.sum(near_w))
     bbox_min = -half * voxel_scale
 
-    def loss_fn(params, coords):
-        w, b = params
-        m = model0._replace(weights=w, biases=b)
-        pred = _raw_sdf(m, coords)
-        target = trilinear_sdf(volume, coords, voxel_scale, v,
-                               bbox_min=bbox_min, clamp=clamp)
-        return jnp.mean((pred - target) ** 2)
+    def draw_uniform(k, n):
+        return jax.random.uniform(k, (n, 3), minval=-extent, maxval=extent)
 
-    b1, b2, eps = 0.9, 0.999, 1e-8
-
-    def body(i, state):
-        (w, b), m, vv, k = state
-        k, k1, k2, k3 = jax.random.split(k, 4)
-        # half the batch: uniform continuous points over the cube
-        c_u = jax.random.uniform(k1, (batch // 2, 3), minval=-extent,
-                                 maxval=extent)
-        # half: near-surface voxels (inverse-CDF draw) jittered by +-1 voxel
-        u = jax.random.uniform(k2, (batch // 2,))
+    def draw_near(ka, kb, n):
+        # near-surface voxels (inverse-CDF draw) jittered by +-1 voxel
+        u = jax.random.uniform(ka, (n,))
         idx_n = jnp.clip(jnp.searchsorted(near_cdf, u), 0, v**3 - 1)
         centres = jnp.stack(
             [(idx_n // (v * v)) - half, (idx_n // v) % v - half,
              idx_n % v - half], axis=-1).astype(jnp.float32) * voxel_scale
-        c_n = centres + jax.random.uniform(k3, centres.shape,
-                                           minval=-voxel_scale,
-                                           maxval=voxel_scale)
-        coords = jnp.concatenate([c_u, c_n])
-        g = jax.grad(loss_fn)((w, b), coords)
+        return centres + jax.random.uniform(kb, centres.shape,
+                                            minval=-voxel_scale,
+                                            maxval=voxel_scale)
+
+    def target_of(coords):
+        return trilinear_sdf(volume, coords, voxel_scale, v,
+                             bbox_min=bbox_min, clamp=clamp)
+
+    def loss_fn(params, coords, target):
+        w, b = params
+        m = model0._replace(weights=w, biases=b)
+        return jnp.mean((_raw_sdf(m, coords) - target) ** 2)
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam_step(i, params, m, vv, g):
         m = jax.tree.map(lambda a, gg: b1 * a + (1 - b1) * gg, m, g)
         vv = jax.tree.map(lambda a, gg: b2 * a + (1 - b2) * gg**2, vv, g)
         t = (i + 1).astype(jnp.float32)
@@ -224,8 +236,41 @@ def distill_sdf_volume(volume: jnp.ndarray, voxel_scale: float,
         upd = jax.tree.map(
             lambda mm, vvv: cur_lr * (mm / (1 - b1**t))
             / (jnp.sqrt(vvv / (1 - b2**t)) + eps), m, vv)
-        params = jax.tree.map(lambda p, u: p - u, (w, b), upd)
-        return params, m, vv, k
+        return jax.tree.map(lambda p, u: p - u, params, upd), m, vv
+
+    pb = min(pool_batches, steps)
+    if pb > 0:
+        key, ku, kn1, kn2 = jax.random.split(key, 4)
+        hp = pb * (batch // 2)          # per-half pool size
+        pool_u = draw_uniform(ku, hp)
+        pool_n = draw_near(kn1, kn2, hp)
+        tgt_u = target_of(pool_u)
+        tgt_n = target_of(pool_n)
+
+        def body(i, state):
+            params, m, vv, k = state
+            k, k1, k2 = jax.random.split(k, 3)
+            o_u = jax.random.randint(k1, (), 0, hp - batch // 2 + 1)
+            o_n = jax.random.randint(k2, (), 0, hp - batch // 2 + 1)
+            coords = jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(pool_u, o_u, batch // 2),
+                 jax.lax.dynamic_slice_in_dim(pool_n, o_n, batch // 2)])
+            target = jnp.concatenate(
+                [jax.lax.dynamic_slice_in_dim(tgt_u, o_u, batch // 2),
+                 jax.lax.dynamic_slice_in_dim(tgt_n, o_n, batch // 2)])
+            g = jax.grad(loss_fn)(params, coords, target)
+            params, m, vv = adam_step(i, params, m, vv, g)
+            return params, m, vv, k
+    else:
+        def body(i, state):
+            params, m, vv, k = state
+            k, k1, k2, k3 = jax.random.split(k, 4)
+            coords = jnp.concatenate(
+                [draw_uniform(k1, batch // 2),
+                 draw_near(k2, k3, batch // 2)])
+            g = jax.grad(loss_fn)(params, coords, target_of(coords))
+            params, m, vv = adam_step(i, params, m, vv, g)
+            return params, m, vv, k
 
     zeros = jax.tree.map(jnp.zeros_like, (weights, biases))
     params, _, _, _ = jax.lax.fori_loop(

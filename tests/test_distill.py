@@ -73,6 +73,28 @@ def test_distilled_pose_recovery(distilled_box):
     assert terr1 < terr0, (terr0, terr1)
 
 
+def test_pooled_vs_fresh_sampling_both_converge():
+    """pool_batches=0 (per-step fresh draws, the pre-pool behaviour) and the
+    pooled default must both fit a small volume to the same accuracy class —
+    the pool is a gather-hoisting optimization, not a semantics change."""
+    size, scale = 33, 0.006
+    vol = _box_volume(size, scale, half=(0.03, 0.05, 0.02))
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.uniform(-0.08, 0.08, (2000, 3)), jnp.float32)
+    gt = trilinear_sdf(vol, pts, scale, size, bbox_min=-(size // 2) * scale)
+    errs = {}
+    for pb in (0, 16):
+        model = distill_sdf_volume(vol, scale, jax.random.PRNGKey(5),
+                                   steps=400, batch=2048, pool_batches=pb)
+        pred = eval_distilled_sdf(model, pts)
+        errs[pb] = float(np.abs(np.asarray(pred) - np.asarray(gt)).mean())
+    # both fit (coarse bound at this tiny step budget), and neither path is
+    # drastically worse than the other
+    for pb, e in errs.items():
+        assert e < 0.008, (pb, errs)
+    assert max(errs.values()) < 2.5 * min(errs.values()) + 1e-3, errs
+
+
 def test_fused_sdf_mlp_matches_xla():
     """Pallas fused MLP (interpret mode on CPU) == the XLA distilled-SDF
     evaluation, including clamping, odd point counts, and batch dims."""
