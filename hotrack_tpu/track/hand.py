@@ -49,80 +49,29 @@ def _rest_palm_template(mano_model: ManoModel, beta: jnp.ndarray) -> jnp.ndarray
     return handkp2palmkp(kp)
 
 
-@partial(jax.jit, static_argnames=("handnet", "iknet", "use_opt", "shape_mode",
-                                   "use_pred_obj_pose", "sdf_voxel_scale"))
-def track_hand_sequence(
-    handnet: HandTrackNet,
-    variables: Any,                  # handnet flax variables
-    mano_model: ManoModel,
-    frames: dict,                    # arrays with leading T (from prepare_batch, B=1 squeezed)
-    iknet: IKNet | None = None,
-    ik_variables: Any = None,
-    use_opt: bool = False,
-    shape_mode: int | bool = False,  # False: gt beta; 1: opt @ frame 0;
-                                     # 2: re-opt every 10 frames;
-                                     # 3: every 10 frames on the history of
-                                     #    predicted bone lengths
-    shape_particles: jnp.ndarray | None = None,   # (P, 10)
-    pose_particles: jnp.ndarray | None = None,    # (P, 16)
-    zones: ContactZones | None = None,
-    sdf_volume: jnp.ndarray | None = None,
-    background_masks: jnp.ndarray | None = None,  # (T, H, W) bool
-    energy_weight: dict | None = None,
-    use_pred_obj_pose: bool = False,
-    sdf_voxel_scale: float = 0.003,
-    distilled=None,                  # DistilledSDF for the pose optimizer
-) -> HandTrackResult:
-    """Track one sequence. `frames` fields are (T, ...) device arrays."""
-    t_total = frames["hand_points"].shape[0]
-    dtype = frames["hand_points"].dtype
-    use_iknet = iknet is not None
+def _make_hand_step(handnet, variables, mano_model, iknet=None,
+                    ik_variables=None, use_opt=False, shape_mode=False,
+                    shape_particles=None, pose_particles=None, zones=None,
+                    sdf_volume=None, energy_weight=None,
+                    sdf_voxel_scale=0.003, distilled=None,
+                    dtype=jnp.float32):
+    """Build the per-frame tracking step — the single definition shared by
+    the lax.scan sequence driver (`track_hand_sequence`) and the streaming
+    API (`track/stream.HandTracker`), so offline and online tracking are the
+    same computation by construction.
 
-    # ---- initial palm template + shape code ----
-    zero_beta = jnp.zeros((1, 10), dtype)
-    if shape_mode is False or shape_mode == 0:
-        shape0 = frames["gt_hand_pose"]["mano_beta"][:1] if use_iknet else zero_beta
-    else:
-        shape0 = zero_beta
-    palm0 = _rest_palm_template(mano_model, zero_beta)
+    carry = (last_kp (1,21,3), palm_template (1,6,3), shape_code (1,10)
+    [, bone_history (64,15), hist_count ()]); xs = per-frame dict with
+    i / hand_points (N,3) / jittered_hand_kp (21,3) / bg_mask (H,W)
+    (+ obj_rotation/obj_translation/projection when use_opt; + 'pre'
+    hoisted backbone indices optionally). Returns (step, run_handnet)."""
+    use_iknet = iknet is not None
 
     def run_handnet(hand_points, jittered_kp, palm_template, pre_indices=None):
         return handnet.apply(
             variables, hand_points, jittered_kp, palm_template,
             compute_visibility=use_iknet, train=False,
             pre_indices=pre_indices)
-
-    # ---- optional: hoist backbone geometry indices out of the scan ----
-    # FPS/knn/ball indices are mathematically invariant to the per-frame
-    # rigid canonicalization, so all T frames could compute in parallel here.
-    # OFF by default: in f32 on TPU, rotation changes distance rounding and
-    # FPS's 256-step argmax chain amplifies tie-flips into a *different but
-    # equally valid* sample set — harmless per frame (+1.7mm measured) but a
-    # trained net is sensitive to its training-time sampling pattern and the
-    # tracking feedback loop amplified it 10x (MPJPE 0.043 -> 0.395 on the
-    # synthetic benchmark). Enable via HOTRACK_INDEX_HOIST=1 for throughput
-    # studies or when the net was *trained* with hoisted sampling.
-    import os
-    hoist = handnet.handframe != "OBB" and bool(
-        os.environ.get("HOTRACK_INDEX_HOIST"))
-    pre_all = (precompute_backbone_indices(handnet.net_cfg,
-                                           frames["hand_points"])
-               if hoist else None)
-
-    # ---- frame-0 shape optimization (track_network.py:174-178) ----
-    if use_iknet and shape_mode in (1, 2, 3):
-        ret0 = run_handnet(frames["hand_points"][:1],
-                           frames["jittered_hand_kp"][:1], palm0,
-                           jax.tree.map(lambda a: a[:1], pre_all)
-                           if hoist else None)
-        shape0, _ = optimize_hand_shape(
-            mano_model, shape_particles, kp2length(ret0["pred_kp"]))
-        palm0 = _rest_palm_template(mano_model, shape0)
-    elif use_iknet and (shape_mode is False or shape_mode == 0):
-        # gt shape: rest template with the annotated beta (track_network.py:189-191)
-        palm0 = _rest_palm_template(mano_model, shape0)
-
-    obj_pose_key = "pred_obj_pose" if use_pred_obj_pose else "gt_obj_pose"
 
     def step(carry, xs):
         i, hand_points, jittered_kp0, bg_mask = (
@@ -229,6 +178,85 @@ def track_hand_sequence(
             "MANO_theta": theta[0],
         }
         return new_carry, out
+
+    return step, run_handnet
+
+
+@partial(jax.jit, static_argnames=("handnet", "iknet", "use_opt", "shape_mode",
+                                   "use_pred_obj_pose", "sdf_voxel_scale"))
+def track_hand_sequence(
+    handnet: HandTrackNet,
+    variables: Any,                  # handnet flax variables
+    mano_model: ManoModel,
+    frames: dict,                    # arrays with leading T (from prepare_batch, B=1 squeezed)
+    iknet: IKNet | None = None,
+    ik_variables: Any = None,
+    use_opt: bool = False,
+    shape_mode: int | bool = False,  # False: gt beta; 1: opt @ frame 0;
+                                     # 2: re-opt every 10 frames;
+                                     # 3: every 10 frames on the history of
+                                     #    predicted bone lengths
+    shape_particles: jnp.ndarray | None = None,   # (P, 10)
+    pose_particles: jnp.ndarray | None = None,    # (P, 16)
+    zones: ContactZones | None = None,
+    sdf_volume: jnp.ndarray | None = None,
+    background_masks: jnp.ndarray | None = None,  # (T, H, W) bool
+    energy_weight: dict | None = None,
+    use_pred_obj_pose: bool = False,
+    sdf_voxel_scale: float = 0.003,
+    distilled=None,                  # DistilledSDF for the pose optimizer
+) -> HandTrackResult:
+    """Track one sequence. `frames` fields are (T, ...) device arrays."""
+    t_total = frames["hand_points"].shape[0]
+    dtype = frames["hand_points"].dtype
+    use_iknet = iknet is not None
+
+    # ---- initial palm template + shape code ----
+    zero_beta = jnp.zeros((1, 10), dtype)
+    if shape_mode is False or shape_mode == 0:
+        shape0 = frames["gt_hand_pose"]["mano_beta"][:1] if use_iknet else zero_beta
+    else:
+        shape0 = zero_beta
+    palm0 = _rest_palm_template(mano_model, zero_beta)
+
+    step, run_handnet = _make_hand_step(
+        handnet, variables, mano_model, iknet=iknet,
+        ik_variables=ik_variables, use_opt=use_opt, shape_mode=shape_mode,
+        shape_particles=shape_particles, pose_particles=pose_particles,
+        zones=zones, sdf_volume=sdf_volume, energy_weight=energy_weight,
+        sdf_voxel_scale=sdf_voxel_scale, distilled=distilled, dtype=dtype)
+
+    # ---- optional: hoist backbone geometry indices out of the scan ----
+    # FPS/knn/ball indices are mathematically invariant to the per-frame
+    # rigid canonicalization, so all T frames could compute in parallel here.
+    # OFF by default: in f32 on TPU, rotation changes distance rounding and
+    # FPS's 256-step argmax chain amplifies tie-flips into a *different but
+    # equally valid* sample set — harmless per frame (+1.7mm measured) but a
+    # trained net is sensitive to its training-time sampling pattern and the
+    # tracking feedback loop amplified it 10x (MPJPE 0.043 -> 0.395 on the
+    # synthetic benchmark). Enable via HOTRACK_INDEX_HOIST=1 for throughput
+    # studies or when the net was *trained* with hoisted sampling.
+    import os
+    hoist = handnet.handframe != "OBB" and bool(
+        os.environ.get("HOTRACK_INDEX_HOIST"))
+    pre_all = (precompute_backbone_indices(handnet.net_cfg,
+                                           frames["hand_points"])
+               if hoist else None)
+
+    # ---- frame-0 shape optimization (track_network.py:174-178) ----
+    if use_iknet and shape_mode in (1, 2, 3):
+        ret0 = run_handnet(frames["hand_points"][:1],
+                           frames["jittered_hand_kp"][:1], palm0,
+                           jax.tree.map(lambda a: a[:1], pre_all)
+                           if hoist else None)
+        shape0, _ = optimize_hand_shape(
+            mano_model, shape_particles, kp2length(ret0["pred_kp"]))
+        palm0 = _rest_palm_template(mano_model, shape0)
+    elif use_iknet and (shape_mode is False or shape_mode == 0):
+        # gt shape: rest template with the annotated beta (track_network.py:189-191)
+        palm0 = _rest_palm_template(mano_model, shape0)
+
+    obj_pose_key = "pred_obj_pose" if use_pred_obj_pose else "gt_obj_pose"
 
     if background_masks is None:
         background_masks = jnp.zeros((t_total, 1, 1), bool)

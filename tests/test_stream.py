@@ -1,0 +1,204 @@
+"""Streaming (online) tracking parity: HandTracker / ObjTracker fed one
+frame at a time must reproduce the offline scan drivers' trajectories —
+they run the same step function by construction (track/hand._make_hand_step;
+optimize_obj_pose), so any drift here is a state-plumbing bug."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hotrack_tpu.config import get_config
+from hotrack_tpu.data import get_dataloader, prepare_batch
+from hotrack_tpu.data.synthetic import generate_simgrasp_dataset
+from hotrack_tpu.mano import synthetic_mano_model
+from hotrack_tpu.opt import presample_particles
+from hotrack_tpu.sdf.assets import synthetic_box_sdf_setup
+from hotrack_tpu.track import (HandTracker, ObjTracker, track_hand_sequence,
+                               track_obj_sequence)
+from hotrack_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_root")
+    mano = synthetic_mano_model()
+    generate_simgrasp_dataset(str(root), num_instances=1, num_frames=6,
+                              points_per_part=300, mano_model=mano)
+    os.environ["HOTRACK_DATA_ROOT"] = str(root)
+
+    cfg = get_config({"config": "handtracknet_train_SimGrasp.yml",
+                      "track": "hand", "batch_size": 1, "num_points": 64,
+                      "network/backbone_out_dim": 48,
+                      "hand_jitter_cfg/rand_scale": 0.01}, save=False)
+    cfg["pointnet"]["camera"] = {
+        "sa1": {"npoint": 32, "radius_list": [0.1], "nsample_list": [8],
+                "mlp_list": [[16, 16, 32]]},
+        "sa2": {"npoint": 16, "radius_list": [0.2], "nsample_list": [8],
+                "mlp_list": [[32, 32, 64]]},
+        "sa3": {"mlp": [64, 64, 128]},
+        "fp3": {"mlp": [64, 64]},
+        "fp2": {"mlp": [64, 64]},
+        "fp1": {"mlp": [64, 64]},
+    }
+    loader = get_dataloader(cfg, "test")
+    raw, _ = loader[0]
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw),
+                          jax.random.PRNGKey(1), cfg["num_points"],
+                          hand_jitter_scale=0.01)
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+    trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
+    return mano, batch, trainer
+
+
+def test_hand_stream_matches_scan_plain(env):
+    """HandTrackNet-only tracking: stream == scan."""
+    mano, batch, trainer = env
+    scan = track_hand_sequence(trainer.model, trainer.variables, mano, batch)
+
+    tracker = HandTracker(trainer.model, trainer.variables, mano)
+    state = tracker.init_state(batch["hand_points"][0],
+                               batch["jittered_hand_kp"][0])
+    outs = []
+    for f in range(batch["hand_points"].shape[0]):
+        state, out = tracker.step(state, batch["hand_points"][f])
+        outs.append(out)
+
+    # tolerance: scan-body vs standalone-jit fusion reorders f32 ops
+    # (~1e-5 per frame), compounded by the tracking feedback over 6 frames
+    streamed = np.stack([np.asarray(o["pred_kp"]) for o in outs])
+    np.testing.assert_allclose(streamed, np.asarray(scan.pred_kp),
+                               atol=1e-4, rtol=0)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(o["canon_rotation"]) for o in outs]),
+        np.asarray(scan.canon_rotation), atol=1e-4, rtol=0)
+
+
+def test_hand_stream_matches_scan_full(env):
+    """Full deployment path (IKNet + frame-0 shape opt + per-frame pose
+    opt + distilled SDF): stream == scan."""
+    from hotrack_tpu.models import IKNet
+    from hotrack_tpu.opt import load_contact_zones
+    from hotrack_tpu.sdf.distill import distill_sdf_volume
+
+    mano, batch, trainer = env
+    iknet = IKNet()
+    ik_vars = iknet.init(jax.random.PRNGKey(10),
+                         batch["jittered_hand_kp"][:1],
+                         batch["gt_hand_pose"]["palm_template"][:1])
+    vol = synthetic_box_sdf_setup(65, 0.006)
+    dist = distill_sdf_volume(vol, 0.006, jax.random.PRNGKey(11),
+                              steps=200, batch=1024)
+    zones = load_contact_zones(None)
+    pose_particles = presample_particles(jax.random.PRNGKey(12), 64, 16)
+    shape_particles = presample_particles(jax.random.PRNGKey(13), 64, 10)
+    ew = {k: 1.0 for k in ("sil_loss", "penetrate_sum_loss", "vis_regu_loss",
+                           "invis_regu_loss", "temporal_smooth",
+                           "attraction_loss")}
+    t_frames = batch["hand_points"].shape[0]
+    rng = np.random.RandomState(3)
+    masks = jnp.asarray(rng.rand(t_frames, 16, 16) > 0.5)
+
+    # gt shape (shape_mode False) for the trajectory comparison: the shape
+    # optimizer's x2000 adaptive gain amplifies the ~1e-5 jit-boundary f32
+    # reorder on frame-0's pred_kp chaotically (documented in
+    # tests/test_reference_parity.py), and a beta difference then compounds
+    # through the pose-opt feedback loop — it would mask plumbing bugs.
+    # Frame-0 shape opt is covered separately below.
+    common = dict(use_opt=True, shape_mode=False,
+                  shape_particles=shape_particles,
+                  pose_particles=pose_particles, zones=zones,
+                  sdf_volume=vol, energy_weight=ew, sdf_voxel_scale=0.006,
+                  distilled=dist)
+    scan = track_hand_sequence(
+        trainer.model, trainer.variables, mano, batch, iknet=iknet,
+        ik_variables=ik_vars, background_masks=masks, **common)
+
+    tracker = HandTracker(trainer.model, trainer.variables, mano,
+                          iknet=iknet, ik_variables=ik_vars, **common)
+    state = tracker.init_state(batch["hand_points"][0],
+                               batch["jittered_hand_kp"][0],
+                               mano_beta=batch["gt_hand_pose"]["mano_beta"][0])
+    np.testing.assert_allclose(np.asarray(state["carry"][2][0]),
+                               np.asarray(scan.pred_beta[0]), atol=1e-6)
+    outs = []
+    for f in range(t_frames):
+        state, out = tracker.step(
+            state, batch["hand_points"][f], background_mask=masks[f],
+            obj_rotation=batch["gt_obj_pose"]["rotation"][f],
+            obj_translation=batch["gt_obj_pose"]["translation"][f],
+            projection=batch["projection"][f])
+        outs.append(out)
+
+    streamed = np.stack([np.asarray(o["pred_kp"]) for o in outs])
+    # frame 0 has no feedback history: tight
+    np.testing.assert_allclose(streamed[0], np.asarray(scan.pred_kp[0]),
+                               atol=2e-4, rtol=0)
+    # later frames: the pose optimizer's adaptive search gain amplifies the
+    # ~1e-5 jit-boundary reorder chaotically through the tracking feedback
+    # (same class as the documented torch-parity trajectory bounds) — pin
+    # the trajectory at mm scale
+    np.testing.assert_allclose(streamed, np.asarray(scan.pred_kp),
+                               atol=1e-2, rtol=0)
+    # theta only at frame 0: the 45-D axis-angle parameterization is
+    # redundant (many thetas per kp set), so the chaotic particle search
+    # decorrelates it across feedback frames while the kp trajectory stays
+    # pinned above
+    np.testing.assert_allclose(np.asarray(outs[0]["MANO_theta"]),
+                               np.asarray(scan.mano_theta[0]),
+                               atol=5e-3, rtol=0)
+
+
+def test_hand_stream_shape_opt_matches_scan(env):
+    """Frame-0 shape optimization (shape_mode 1): HandTracker.init_state
+    runs the same handnet + optimize_hand_shape the scan's pre-pass does;
+    agreement is bounded by the optimizer's documented chaotic f32 gain."""
+    from hotrack_tpu.models import IKNet
+
+    mano, batch, trainer = env
+    iknet = IKNet()
+    ik_vars = iknet.init(jax.random.PRNGKey(10),
+                         batch["jittered_hand_kp"][:1],
+                         batch["gt_hand_pose"]["palm_template"][:1])
+    shape_particles = presample_particles(jax.random.PRNGKey(13), 64, 10)
+
+    scan = track_hand_sequence(
+        trainer.model, trainer.variables, mano, batch, iknet=iknet,
+        ik_variables=ik_vars, shape_mode=1, shape_particles=shape_particles)
+    tracker = HandTracker(trainer.model, trainer.variables, mano,
+                          iknet=iknet, ik_variables=ik_vars, shape_mode=1,
+                          shape_particles=shape_particles)
+    state = tracker.init_state(batch["hand_points"][0],
+                               batch["jittered_hand_kp"][0])
+    np.testing.assert_allclose(np.asarray(state["carry"][2][0]),
+                               np.asarray(scan.pred_beta[0]),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_obj_stream_matches_scan(env):
+    mano, batch, trainer = env
+    vol = synthetic_box_sdf_setup(65, 0.006)
+    particles = presample_particles(jax.random.PRNGKey(5), 64, 6)
+    pts = batch["obj_points"][:4]
+    r0 = batch["jittered_obj_pose"]["rotation"][0]
+    t0 = batch["jittered_obj_pose"]["translation"][0]
+
+    scan = track_obj_sequence(vol, particles, pts, r0, t0,
+                              voxel_scale=0.006, bbox_res=65)
+
+    tracker = ObjTracker(vol, particles, voxel_scale=0.006, bbox_res=65)
+    state = tracker.init_state(r0, t0)
+    outs = []
+    for f in range(pts.shape[0]):
+        state, out = tracker.step(state, pts[f])
+        outs.append(out)
+
+    np.testing.assert_allclose(
+        np.stack([np.asarray(o["rotation"]) for o in outs]),
+        np.asarray(scan.rotation), atol=1e-6, rtol=0)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(o["translation"]) for o in outs]),
+        np.asarray(scan.translation), atol=1e-6, rtol=0)
