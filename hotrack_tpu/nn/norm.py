@@ -37,8 +37,21 @@ class BatchNorm(nn.Module):
 
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
-            var = jnp.var(x, axes)
+            # Defect-corrected (one-round compensated) batch statistics.
+            # XLA lowers a plain f32 jnp.mean over ~64k positions to a
+            # sequential accumulation whose rounding error reaches ~3e-5 abs
+            # (measured on sa1 activations); torch's pairwise reduction stays
+            # at ~1e-7. On near-constant channels (ball-query pad-with-first
+            # duplication) the 1/sqrt(var+eps) amplification turns that into
+            # ~3e-3 normalized-output error — enough to flip ReLU signs and
+            # max-pool argmaxes vs a torch run. One residual-mean pass per
+            # statistic cancels the first-order accumulation error (train
+            # mode only, two extra cheap reductions).
+            mean1 = jnp.mean(x, axes)
+            mean = mean1 + jnp.mean(x - mean1, axes)
+            sq = jnp.square(x - mean)
+            var1 = jnp.mean(sq, axes)
+            var = var1 + jnp.mean(sq - var1, axes)
             n = x.size // feat
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():

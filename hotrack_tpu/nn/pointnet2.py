@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -58,6 +59,31 @@ class SharedMLP(nn.Module):
                 x = x.astype(cd)
             x = nn.relu(x)
         return x
+
+
+@jax.custom_vjp
+def max_pool_neighbors(x):
+    """max over the K-neighbor axis (B, S, K, C) -> (B, S, C) with the torch
+    backward tie rule: the cotangent goes to the FIRST maximal element only
+    (torch.max(dim)'s scatter into its argmax, pointnet_utils.py:260).
+    jnp.max's default VJP splits the cotangent evenly among ties — and
+    pad-with-first ball queries make ties the common case — which is an
+    equally valid subgradient but diverges from reference training step for
+    step (caught by test_train_step_parity's gradient comparison)."""
+    return jnp.max(x, axis=2)
+
+
+def _max_pool_fwd(x):
+    return jnp.max(x, axis=2), x
+
+
+def _max_pool_bwd(x, g):
+    first = jax.nn.one_hot(jnp.argmax(x, axis=2), x.shape[2],
+                           dtype=g.dtype, axis=2)
+    return (first * jnp.expand_dims(g, 2),)
+
+
+max_pool_neighbors.defvjp(_max_pool_fwd, _max_pool_bwd)
 
 
 def _group_indices(xyz, centers, radius_list, nsample_list, knn, valid_mask):
@@ -137,7 +163,7 @@ class SetAbstractionMsg(nn.Module):
             group_idx = pre_groups[i]
             grouped, _ = _group(xyz, feats, new_xyz, group_idx)
             h = SharedMLP(self.mlp_list[i], dtype=self.dtype)(grouped, train, bn_momentum)
-            outs.append(jnp.max(h, axis=2))  # max over K neighbors
+            outs.append(max_pool_neighbors(h))  # max over K neighbors
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
@@ -155,7 +181,7 @@ class SetAbstractionAll(nn.Module):
         grouped = xyz if feats is None else jnp.concatenate([xyz, feats], -1)
         h = SharedMLP(self.mlp, dtype=self.dtype)(grouped[:, None], train,
                                                   bn_momentum)  # (B,1,N,C)
-        new_feats = jnp.max(h, axis=2)
+        new_feats = max_pool_neighbors(h)
         return jnp.zeros_like(xyz[:, :1, :]), new_feats
 
 
@@ -222,7 +248,7 @@ class SetAbstractionAtCenters(nn.Module):
                     grouped.shape[:3] + (center_feats.shape[-1],))
                 grouped = jnp.concatenate([grouped, tiled], axis=-1)
             h = SharedMLP(self.mlp_list[i], dtype=self.dtype)(grouped, train, bn_momentum)
-            outs.append(jnp.max(h, axis=2))
+            outs.append(max_pool_neighbors(h))
         new_feats = jnp.concatenate(outs, axis=-1)
         if return_4nn:
             # mean distance to the 4 nearest grouped neighbors of the last

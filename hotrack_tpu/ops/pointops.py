@@ -71,20 +71,32 @@ def knn_point(k: int, query: jnp.ndarray, data: jnp.ndarray):
 
     Returns (dist (B, S, k) ascending sqrt distances, idx (B, S, k)).
     Matches the CUDA knn wrapper (pointnet2_utils.py:79-109): distances are
-    sqrt'd, neighbors ascend, ties resolve to the lower index.
+    sqrt'd, neighbors ascend, ties resolve to the lower index, and the
+    distances carry NO gradient (KNN.backward returns None — also saves the
+    infinite d(sqrt)/dx at the d=0 self-match).
     """
     neg_d2 = -square_distance(query, data)  # (B, S, N)
     val, idx = jax.lax.top_k(neg_d2, k)
     dist = jnp.sqrt(jnp.clip(-val, min=0.0))
-    return dist, idx
+    return jax.lax.stop_gradient(dist), idx
 
 
 def three_nn(query: jnp.ndarray, data: jnp.ndarray):
     """3 nearest neighbors; returns *squared* distances ascending + indices
-    (pointnet_utils.py:35-43 CPU semantics, which the FP layer consumes)."""
+    (pointnet_utils.py:35-43 CPU semantics, which the FP layer consumes).
+
+    The distances carry NO gradient, matching the reference's CUDA op
+    (pointnet2_utils.py:137-139: ThreeNN.backward returns None), i.e. the
+    semantics its published models were trained with: the FP layer's
+    1/(d^2+1e-8) interpolation weights are constants in the backward pass.
+    (The reference's CPU fallback diverges from its own CUDA path here and
+    DOES backprop through the sorted distances — through a self-match at
+    d^2 = 0 that 1/(d^2+1e-8) turns into a ~1e16-conditioned gradient; we
+    deliberately follow the CUDA semantics, which are also the only
+    numerically sane choice.)"""
     neg_d2 = -square_distance(query, data)
     val, idx = jax.lax.top_k(neg_d2, 3)
-    return jnp.clip(-val, min=0.0), idx
+    return jax.lax.stop_gradient(jnp.clip(-val, min=0.0)), idx
 
 
 def three_interpolate(points: jnp.ndarray, idx: jnp.ndarray,

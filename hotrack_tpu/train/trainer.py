@@ -50,21 +50,50 @@ class TrainState(NamedTuple):
 
 
 def lr_schedule(cfg: dict, epoch):
-    """Step decay / CyclicLR + warm-up + floor (trainer.py:42-63, 167-178)."""
+    """Learning rate actually applied by the reference's optimizer during
+    0-based training epoch `epoch` (trainer.py:42-63, 167-178).
+
+    The reference steps its torch scheduler at the TOP of each epoch
+    (train.py:62), so during our epoch e the scheduler has stepped e+1 times.
+    Its lr_clip gate (`if scheduler.get_lr()[0] > lr_clip: step()`) does NOT
+    clamp at lr_clip: torch StepLR.get_lr() returns gamma*lr right after a
+    boundary step, so the gate fails permanently one epoch after the last
+    boundary whose *successor* level would be <= lr_clip, freezing the lr at
+    base*gamma^n_max with n_max = min{n>=1: base*gamma^(n+1) <= clip}. For
+    the shipped config (1e-4/0.5/20/clip 1e-5) that is 1.25e-5 from epoch 59
+    on — measured against torch in test_step_lr_schedule_parity.
+
+    Deliberate deviation: the reference's warm-up only writes the *logged*
+    self.lr, never the optimizer's param_group (trainer.py:169-171), so
+    warm_up > 0 is a no-op there; here it scales the applied lr (no shipped
+    config sets warm_up > 0).
+    """
     base = cfg["learning_rate"]
     policy = cfg.get("lr_policy", "constant")
+    e1 = epoch + 1  # scheduler steps taken when this epoch's updates run
     if policy == "step":
-        lr = base * cfg["lr_gamma"] ** (epoch // cfg["lr_step_size"])
-        lr = jnp.maximum(lr, cfg.get("lr_clip", 0.0))
+        gamma, step = cfg["lr_gamma"], cfg["lr_step_size"]
+        clip = cfg.get("lr_clip", 0.0)
+        n = e1 // step
+        if clip > 0 and 0 < gamma < 1:
+            if base <= clip:
+                n = 0  # gate fails before the first step ever happens
+            else:
+                n_max = 1
+                while base * gamma ** (n_max + 1) > clip:
+                    n_max += 1
+                n = jnp.minimum(n, n_max)
+        lr = base * jnp.power(gamma, n)
     elif policy == "CyclicLR":
-        # triangular cycle, stepped once per epoch like the reference's
-        # step_epoch (trainer.py:53-61, 167-175): step_size_up =
-        # total_epoch * dataset_len // 6 at base 5e-5 / max 5e-4
+        # triangular cycle, stepped once per epoch at the top like StepLR
+        # (trainer.py:53-61, 167-175): step_size_up =
+        # total_epoch * dataset_len // 6 at base 5e-5 / max 5e-4. The lr_clip
+        # gate never fires (cyclic lrs exceed every shipped clip).
         base_lr = cfg.get("cyclic_base_lr", 5e-5)
         max_lr = cfg.get("cyclic_max_lr", 5e-4)
         step = max((cfg["total_epoch"] * cfg.get("dataset_len", 1)) // 6, 1)
-        cycle = jnp.floor(1.0 + epoch / (2.0 * step))
-        pos = jnp.abs(epoch / step - 2.0 * cycle + 1.0)
+        cycle = jnp.floor(1.0 + e1 / (2.0 * step))
+        pos = jnp.abs(e1 / step - 2.0 * cycle + 1.0)
         lr = base_lr + (max_lr - base_lr) * jnp.clip(1.0 - pos, min=0.0)
     else:
         lr = jnp.asarray(base)
@@ -75,9 +104,13 @@ def lr_schedule(cfg: dict, epoch):
 
 
 def bn_momentum_schedule(cfg: dict, epoch):
-    """momentum_original * decay^(epoch//step), floored (trainer.py:180-190)."""
+    """momentum_original * decay^(e//step), floored (trainer.py:180-190).
+    The reference increments its 1-based epoch counter before applying the
+    decay (step_epoch runs at the top of each epoch), so 0-based epoch e
+    uses (e+1)//step."""
     m = cfg.get("momentum_original", 0.1) * (
-        cfg.get("momentum_decay", 0.5) ** (epoch // cfg.get("momentum_step_size", 20)))
+        cfg.get("momentum_decay", 0.5)
+        ** ((epoch + 1) // cfg.get("momentum_step_size", 20)))
     return jnp.maximum(m, cfg.get("momentum_min", 0.01))
 
 
@@ -218,6 +251,17 @@ class Trainer:
             loss_fn, has_aux=True)(state.params)
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state = self.optimizer.update(grads, opt_state, state.params)
+        # torch optimizers skip parameters whose .grad is None — tensors that
+        # never entered the autograd graph (e.g. the attention stack under
+        # use_attention=False) get NO update and NO weight decay
+        # (reference trainer.py:278-302 + torch.optim.Adam's p.grad guard).
+        # JAX autodiff returns zero gradients instead, and optax's coupled
+        # weight decay would silently walk those frozen weights; mask whole
+        # leaves with identically-zero grad (reachability is static for a
+        # given model config, so this is exactly the torch rule).
+        updates = jax.tree.map(
+            lambda u, g: jnp.where(jnp.any(g != 0), u, jnp.zeros_like(u)),
+            updates, grads)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, new_bs, opt_state, state.epoch,
                                state.iteration + 1)

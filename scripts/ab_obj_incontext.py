@@ -49,8 +49,6 @@ def main():
         return jnp.clip(x[2], -clamp, clamp)
 
     def make_noxform_kernel():
-        import functools
-
         def kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
                    *refs, n_layers, n_valid, tb, compute_dtype=None,
                    fourier_da=False):
@@ -66,8 +64,11 @@ def main():
             for g in range(tb // sub):
                 for c in range(3):
                     for i in range(sub):
+                        # per-(g,i) scale so Mosaic can't hoist/dedupe the
+                        # stores across group iterations — the per-group VMEM
+                        # store traffic must match the real kernel's
                         x_ref[c:c + 1, i * np_:(i + 1) * np_] = \
-                            pcld_ref[c:c + 1, :]
+                            pcld_ref[c:c + 1, :] * (1.0 + 1e-6 * (g * sub + i))
                 obj = x_ref[:]
                 sdf = oe._sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0],
                                        freqs_ref[:], [r[:] for r in wb],
@@ -85,27 +86,31 @@ def main():
     def timed(mlp_core, kernel, reps=16, rounds=4):
         oe._sdf_mlp_core = mlp_core
         oe._obj_energy_kernel = kernel
-        oe._obj_impl.clear_cache()
-        oe._obj_vmapped.cache_clear()
-        op.optimize_obj_pose.clear_cache()
+        try:
+            oe._obj_impl.clear_cache()
+            oe._obj_vmapped.cache_clear()
+            op.optimize_obj_pose.clear_cache()
 
-        def run(r, t):
-            return op.optimize_obj_pose(volume, particles, pcld, r, t,
-                                        distilled=distilled)
+            def run(r, t):
+                return op.optimize_obj_pose(volume, particles, pcld, r, t,
+                                            distilled=distilled)
 
-        r, t, e = run(r0, t0_)
-        np.asarray(e)
-        best = float("inf")
-        for _ in range(rounds):
-            r, t = r0, t0_
-            t_start = time.perf_counter()
-            for _ in range(reps):
-                r, t, e = run(r, t)
-                z = 0.0 * jnp.minimum(e, 1.0)
-                r, t = r0 + z * r, t0_ + z * t
-            np.asarray(r)
-            best = min(best, (time.perf_counter() - t_start) / reps)
-        return best * 1000.0
+            r, t, e = run(r0, t0_)
+            np.asarray(e)
+            best = float("inf")
+            for _ in range(rounds):
+                r, t = r0, t0_
+                t_start = time.perf_counter()
+                for _ in range(reps):
+                    r, t, e = run(r, t)
+                    z = 0.0 * jnp.minimum(e, 1.0)
+                    r, t = r0 + z * r, t0_ + z * t
+                np.asarray(r)
+                best = min(best, (time.perf_counter() - t_start) / reps)
+            return best * 1000.0
+        finally:
+            oe._sdf_mlp_core = orig_mlp
+            oe._obj_energy_kernel = orig_kernel
 
     for name, mlp_core, kernel in (
             ("base", orig_mlp, orig_kernel),
@@ -117,8 +122,6 @@ def main():
         dt = timed(mlp_core, kernel)
         print(f"{name:9s} {dt:8.2f} ms/frame  ({dt / 10:6.3f} ms/iter)",
               flush=True)
-    oe._sdf_mlp_core = orig_mlp
-    oe._obj_energy_kernel = orig_kernel
 
 
 if __name__ == "__main__":

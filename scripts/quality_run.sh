@@ -20,6 +20,11 @@ echo "=== train HandTrackNet (300 epochs) ==="
 python -m hotrack_tpu.train --config handtracknet_train_SimGrasp.yml --epochs 300
 echo "=== train IKNet (150 epochs) ==="
 python -m hotrack_tpu.train --config iknet_train_SimGrasp.yml --epochs 150
+echo "=== objopt tracking eval (network-free, analytic box SDF) ==="
+python -m hotrack_tpu.test --config objopt_test_SimGrasp_synth.yml
+echo "=== objopt fused-vs-composed A/B (same metrics, XLA fallback path) ==="
+HOTRACK_NO_FUSED_OBJ=1 HOTRACK_NO_FOURIER_DA=1 \
+    python -m hotrack_tpu.test --config objopt_test_SimGrasp_synth.yml
 echo "=== tracking eval (HandTrackNet only) ==="
 python -m hotrack_tpu.test --config handtracknet_test_SimGrasp.yml --experiment_dir train_debug
 echo "=== full pipeline eval (handopt) ==="

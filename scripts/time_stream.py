@@ -100,6 +100,49 @@ def main():
     print(f"streaming step (device-resident state): {best * 1000:.1f} "
           f"ms/frame = {1.0 / best:.1f} frames/s", flush=True)
 
+    # realistic serving loop: each frame ARRIVES on the host (sensor), is
+    # uploaded, stepped, and only the (21, 3) keypoints come back
+    host_frames = [np.asarray(frames[f]) for f in range(n)]
+    host_r = [np.asarray(obj_r[f]) for f in range(n)]
+    host_t = [np.asarray(obj_t[f]) for f in range(n)]
+    host_p = [np.asarray(proj[f]) for f in range(n)]
+
+    def one_host(s, f):
+        return tracker.step(s, jnp.asarray(host_frames[f]),
+                            background_mask=mask,
+                            obj_rotation=jnp.asarray(host_r[f]),
+                            obj_translation=jnp.asarray(host_t[f]),
+                            projection=jnp.asarray(host_p[f]))
+
+    best = float("inf")
+    for _ in range(4):
+        s = state
+        t0 = time.perf_counter()
+        for f in range(n):
+            s, out = one_host(s, f)
+            kp = np.asarray(out["pred_kp"])       # kp-only fetch, blocking
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"serving loop (host upload + kp-only fetch): {best * 1000:.1f} "
+          f"ms/frame = {1.0 / best:.1f} frames/s", flush=True)
+
+    # double-buffered serving: dispatch frame f+1 BEFORE fetching frame f's
+    # keypoints — jax async dispatch overlaps the relay round-trip with the
+    # next frame's compute, so the fetch latency is hidden, not paid
+    best = float("inf")
+    for _ in range(4):
+        s = state
+        t0 = time.perf_counter()
+        prev = None
+        for f in range(n):
+            s, out = one_host(s, f)
+            if prev is not None:
+                kp = np.asarray(prev)              # fetch f-1 after f queued
+            prev = out["pred_kp"]
+        kp = np.asarray(prev)
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"serving loop (double-buffered kp fetch): {best * 1000:.1f} "
+          f"ms/frame = {1.0 / best:.1f} frames/s", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -76,10 +76,101 @@ def _patch_torch_cuda():
     torch.Tensor.cuda = lambda self, *a, **k: self
 
 
+def _install_open3d_stub():
+    """Behavior-complete stub for the one open3d call the reference's DexYCB
+    loader makes (DexYCB_dataset.py:96-109): PointCloud.create_from_depth_image
+    on a float (metric) depth image with a stride — row-major back-projection
+    of the non-zero strided pixels. Everything else stays an empty module."""
+    if "open3d" in sys.modules and hasattr(sys.modules["open3d"], "geometry"):
+        return
+    o3d = types.ModuleType("open3d")
+    geometry = types.ModuleType("open3d.geometry")
+    camera = types.ModuleType("open3d.camera")
+
+    class Image:
+        def __init__(self, arr):
+            self.arr = np.asarray(arr)
+
+    class PinholeCameraIntrinsic:
+        def __init__(self, w, h, fx, fy, cx, cy):
+            self.w, self.h = w, h
+            self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+
+    class PointCloud:
+        def __init__(self, pts):
+            self.points = pts
+
+        @staticmethod
+        def create_from_depth_image(img, intr, stride=1):
+            d = img.arr
+            rows = np.arange(0, d.shape[0], stride)
+            cols = np.arange(0, d.shape[1], stride)
+            sub = d[np.ix_(rows, cols)]
+            rr, cc = np.meshgrid(rows, cols, indexing="ij")
+            m = sub > 0
+            z = sub[m].astype(np.float64)
+            x = (cc[m] - intr.cx) * z / intr.fx
+            y = (rr[m] - intr.cy) * z / intr.fy
+            return PointCloud(np.stack([x, y, z], axis=-1))
+
+    geometry.Image = Image
+    geometry.PointCloud = PointCloud
+    camera.PinholeCameraIntrinsic = PinholeCameraIntrinsic
+    o3d.geometry = geometry
+    o3d.camera = camera
+    sys.modules["open3d"] = o3d
+    sys.modules["open3d.geometry"] = geometry
+    sys.modules["open3d.camera"] = camera
+
+
 def _setup():
     _install_chumpy_stub()
-    for stub in ("open3d", "plyfile", "trimesh"):
+    _install_open3d_stub()
+    for stub in ("plyfile", "trimesh"):
         _install_empty(stub)
+    if "manopth" not in sys.modules:
+        # The reference's DexYCB loader runs the real manopth ManoLayer
+        # (DexYCB_dataset.py:284-285: use_pca=True, ncomps=45,
+        # flat_hand_mean=False, millimeter outputs — hence its /1000 at
+        # :149-156). This stub reproduces those manopth semantics on top of
+        # the reference's OWN OurManoLayer: PCA+hands_mean pose mapping,
+        # no wrist recentering (manopth center_idx=None), x1000 outputs.
+        import torch
+
+        manopth = types.ModuleType("manopth")
+        manolayer = types.ModuleType("manopth.manolayer")
+
+        class ManoLayer(torch.nn.Module):
+            def __init__(self, mano_root, side="right", use_pca=True,
+                         ncomps=45, flat_hand_mean=False, **kw):
+                super().__init__()
+                from third_party.mano.our_mano import OurManoLayer
+                assert use_pca and ncomps == 45 and not flat_hand_mean
+                self.inner = OurManoLayer(side=side, mano_root=mano_root)
+                dd = self.inner.smpl_data
+                self.comps = torch.tensor(
+                    np.asarray(dd["hands_components"]), dtype=torch.float32)
+                self.mean = torch.tensor(
+                    np.asarray(dd["hands_mean"]), dtype=torch.float32)
+
+            def forward(self, th_pose_coeffs, th_trans=None, th_betas=None):
+                if th_trans is None:
+                    th_trans = torch.zeros(th_pose_coeffs.shape[0], 3)
+                full = torch.cat(
+                    [th_pose_coeffs[:, :3],
+                     th_pose_coeffs[:, 3:48].mm(self.comps) + self.mean], 1)
+                kwargs = {}
+                if th_betas is not None:
+                    kwargs["th_betas"] = th_betas
+                v, j = self.inner.forward(th_pose_coeffs=full,
+                                          th_trans=th_trans,
+                                          original_version=True, **kwargs)
+                return v * 1000.0, j * 1000.0
+
+        manolayer.ManoLayer = ManoLayer
+        manopth.manolayer = manolayer
+        sys.modules["manopth"] = manopth
+        sys.modules["manopth.manolayer"] = manolayer
     if "transforms3d" not in sys.modules:
         # data_utils.mat_from_rvec needs axangles.axangle2mat — standard
         # Rodrigues, implemented here so the stub is behavior-complete
@@ -117,7 +208,8 @@ def reference_module(name: str):
     _setup()
     if name in sys.modules:
         return sys.modules[name]
-    if name in ("optimization_obj", "optimization_hand"):
+    if name in ("optimization_obj", "optimization_hand", "trainer"):
+        # trainer imports track_network -> optimization_obj transitively
         # import-time np.load of data/YCB/CatPose2InsPose.npy relative to CWD
         scratch = tempfile.mkdtemp(prefix="hotrack_ref_")
         os.makedirs(os.path.join(scratch, "data", "YCB"), exist_ok=True)

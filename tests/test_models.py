@@ -184,3 +184,40 @@ def test_precomputed_indices_match_inscan(handnet):
     ret1 = model.apply(variables, points, kp, palm, pre_indices=pre)
     np.testing.assert_allclose(np.asarray(ret1["pred_kp"]),
                                np.asarray(ret0["pred_kp"]), atol=2e-4)
+
+
+def test_batchnorm_compensated_stats_accuracy():
+    """The defect-corrected batch statistics (nn/norm.py) must track the
+    exact f64 normalization on the pathological input class that broke
+    torch-parity: many duplicated rows (ball-query pad-with-first) giving
+    near-constant channels whose 1/sqrt(var+eps) amplifies f32 stat error
+    ~100-190x. A plain jnp.mean/var XLA reduction loses ~3e-5 on the mean
+    here (-> ~3e-3 output error); the compensated stats stay at the 1e-5
+    output class."""
+    from hotrack_tpu.nn import BatchNorm
+
+    rng = np.random.RandomState(0)
+    # 64k positions, heavy duplication: 8 unique rows tiled 8192x + noise
+    base = rng.randn(8, 32).astype(np.float32) * 0.01 + 3.0  # big common mode
+    x = np.tile(base, (8192, 1))
+    x += rng.randn(*x.shape).astype(np.float32) * 1e-3  # tiny channel var
+    x = x.reshape(256, 256, 32)
+
+    bn = BatchNorm()
+    variables = {"params": {"scale": jnp.ones(32), "bias": jnp.zeros(32)},
+                 "batch_stats": {"mean": jnp.zeros(32), "var": jnp.ones(32)}}
+    y, st = bn.apply(variables, jnp.asarray(x), True, 0.1,
+                     mutable=["batch_stats"])
+
+    x64 = x.astype(np.float64).reshape(-1, 32)
+    mu, var = x64.mean(0), x64.var(0)
+    y64 = (x64 - mu) / np.sqrt(var + 1e-5)
+    err = np.abs(np.asarray(y).reshape(-1, 32) - y64).max()
+    assert err < 5e-5, err
+    # running stats carry the same accuracy (torch convention, unbiased var)
+    n = x64.shape[0]
+    want_var = 0.9 * 1.0 + 0.1 * var * n / (n - 1)
+    np.testing.assert_allclose(np.asarray(st["batch_stats"]["mean"]),
+                               0.1 * mu, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st["batch_stats"]["var"]),
+                               want_var, rtol=1e-5)

@@ -120,6 +120,13 @@ def _make_ho3d_tree(root, mano, seqs=("ABF10", "BOXY"), n_frames=3):
     np.save(pjoin(root, "splits", "finalv2_test_box.npy"),
             {seq: {0: list(range(n_frames))} for seq in seqs})
 
+    # YCB SDF normalization (HO3D_dataset.py:138-139 loads it relative to
+    # basepath/../): scale=2.0 -> obj_scale = 2/scale = 1.0, the same value
+    # the readers default to when the npz is absent
+    ycb = pjoin(root, "..", "YCB", "SDF", "NormalizationParameters", "box")
+    os.makedirs(ycb, exist_ok=True)
+    np.savez(pjoin(ycb, "textured_simple.npz"), scale=np.array([2.0]))
+
 
 @pytest.fixture(scope="module")
 def ho3d_env(tmp_path_factory):
@@ -315,6 +322,12 @@ def _make_dexycb_tree(root, mano, n_frames=3):
     os.makedirs(pjoin(root, "splits"), exist_ok=True)
     np.save(pjoin(root, "splits", "test_bowl.npy"),
             {seq: ["%06d.jpg" % i for i in range(n_frames)]})
+
+    # YCB SDF normalization (DexYCB_dataset.py:132-134): scale=2.0 keeps the
+    # effective obj_scale at the readers' default 1.0 (radius filter 0.5)
+    ycb = pjoin(root, "..", "YCB", "SDF", "NormalizationParameters", "024_bowl")
+    os.makedirs(ycb, exist_ok=True)
+    np.savez(pjoin(ycb, "textured_simple.npz"), scale=np.array([2.0]))
     return seq
 
 
@@ -480,3 +493,290 @@ def test_simgrasp_format_consumed_by_reference_loader(tmp_path):
     np.testing.assert_allclose(
         np.asarray(batch["gt_hand_pose"]["rotation"][0]),
         np.asarray(full["gt_hand_pose"]["rotation"]), atol=1e-5)
+
+
+# ------------------------------------------------- full-sample __getitem__
+
+def _sorted_rows(pts):
+    pts = np.asarray(pts, np.float32)
+    return pts[np.lexsort(pts.T)]
+
+
+def _zero_jitter():
+    return ({"type": "normal", "s": 0, "t": 0, "r": 0},
+            {"rand_scale": 0.0, "rand_type": "normal"})
+
+
+def test_ho3d_full_sample_parity(tmp_path):
+    """Every key of the reference's full_data (generate_HO3D_data,
+    HO3D_dataset.py:131-240) vs this package's reader + prepare_batch on one
+    fixture tree, with outlier pixels injected so the radius filters
+    (HO3D_dataset.py:163-170) demonstrably bite: clouds compared as exact
+    sets (the reference FPS is asked for >= the full filtered cloud, so its
+    CPU 'sampling' — np.random.permutation[:n] — returns the whole set), and
+    every annotation (kp reorder, rest-template-from-gt-theta palm template,
+    rodrigues, SDF scale, projection, pred_obj_pose plumbing, sym flag)
+    numerically."""
+    import cv2
+    import torch  # noqa: F401  (reference module needs it imported)
+
+    from reference_loader import reference_module, write_fake_mano_pkl
+
+    from hotrack_tpu.data import prepare_batch, stack_frames
+    from hotrack_tpu.data.ho3d import HO3DDataset
+
+    mano = synthetic_mano_model()
+    root = str(tmp_path / "ho3d")
+    _make_ho3d_tree(root, mano, seqs=("ABF10",), n_frames=1)
+
+    # inject far outliers into both masks: a 20x20 hand-labeled blob and a
+    # 20x20 obj-labeled blob at z=2.0 m, far outside the 0.15/0.25 radii
+    dpth_pth = pjoin(root, "train", "ABF10", "depth", "0000.png")
+    seg_pth = pjoin(root, "train", "ABF10", "seg", "0000.png")
+    depth_img = cv2.imread(dpth_pth)
+    seg = cv2.imread(seg_pth)
+    far = int(round(2.0 / DEPTH_SCALE))
+    for sl, ch in (((slice(0, 20), slice(0, 20)), 0),
+                   ((slice(0, 20), slice(30, 50)), 1)):
+        depth_img[sl[0], sl[1], 2] = far % 256
+        depth_img[sl[0], sl[1], 1] = far // 256
+        seg[sl[0], sl[1], ch] = 255
+    cv2.imwrite(dpth_pth, depth_img)
+    cv2.imwrite(seg_pth, seg)
+
+    ref_ho3d = reference_module("HO3D_dataset")
+    # numpy-2 uint8 promotion fix (see test_ho3d_decode_matches_reference)
+    ref_ho3d.read_depth_img = lambda p: (
+        (cv2.imread(p)[:, :, 2].astype(np.int32)
+         + cv2.imread(p)[:, :, 1].astype(np.int32) * 256) * DEPTH_SCALE)
+
+    mano_dir = str(tmp_path / "mano")
+    write_fake_mano_pkl(mano_dir, seed=0)
+    our_mano = reference_module("third_party.mano.our_mano")
+    ref_layer = our_mano.OurManoLayer(side="right", mano_root=mano_dir)
+
+    rng = np.random.RandomState(7)
+    poses = [{"rotation": np.linalg.qr(rng.randn(3, 3))[0],
+              "translation": rng.randn(3, 1) * 0.1}]
+    pred_dir = tmp_path / "pred"
+    pred_dir.mkdir()
+    with open(pred_dir / "ABF10_0000.pkl", "wb") as f:
+        pickle.dump({"pred_obj_poses": poses}, f)
+
+    obj_jit, hand_jit = _zero_jitter()
+    big = 4096
+    full = ref_ho3d.generate_HO3D_data(
+        ref_layer, root, "ABF10", "0000", big, obj_jit, hand_jit,
+        "cpu", True, str(pred_dir), 0, 0)
+
+    cfg = {"data_cfg": {"basepath": root, "dataset_name": "HO3D"},
+           "num_points": big, "obj_category": ["box"],
+           "use_pred_obj_pose": True, "pred_obj_pose_dir": str(pred_dir)}
+    ds = HO3DDataset(cfg, "test")
+    frame, meta = ds[0]
+    assert bool(frame.valid)
+
+    # ---- clouds through the radius filters, as exact sets ----
+    hand_raw, obj_raw, _, _ = ds._clouds("ABF10", "0000")
+    my_hand = np.asarray(frame.hand_points)[np.asarray(frame.hand_valid)]
+    my_obj = np.asarray(frame.obj_points)[np.asarray(frame.obj_valid)]
+    assert len(hand_raw) > len(my_hand), "hand outliers must be filtered"
+    assert len(obj_raw) > len(my_obj), "obj outliers must be filtered"
+    assert full["hand_points"].shape == my_hand.shape
+    assert full["obj_points"].shape == my_obj.shape
+    np.testing.assert_allclose(_sorted_rows(full["hand_points"]),
+                               _sorted_rows(my_hand), atol=1e-6)
+    np.testing.assert_allclose(_sorted_rows(full["obj_points"]),
+                               _sorted_rows(my_obj), atol=1e-6)
+
+    # ---- annotation assembly ----
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, stack_frames([frame])),
+                          jax.random.PRNGKey(0), 64, template_with_theta=True)
+    np.testing.assert_allclose(np.asarray(batch["gt_hand_kp"][0]),
+                               full["gt_hand_kp"], atol=1e-6)
+    # zero jitter: both sides pass the gt through the jitter code unchanged
+    np.testing.assert_array_equal(full["jittered_hand_kp"], full["gt_hand_kp"])
+    np.testing.assert_allclose(np.asarray(batch["jittered_hand_kp"][0]),
+                               np.asarray(batch["gt_hand_kp"][0]), atol=0)
+
+    ghp, rhp = batch["gt_hand_pose"], full["gt_hand_pose"]
+    np.testing.assert_allclose(np.asarray(ghp["translation"][0]).ravel(),
+                               np.asarray(rhp["translation"]).ravel(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["rotation"][0]),
+                               np.asarray(rhp["rotation"]), atol=1e-5)
+    assert abs(float(ghp["scale"][0]) - rhp["scale"]) < 1e-7 and rhp["scale"] == 0.2
+    np.testing.assert_allclose(np.asarray(ghp["mano_pose"][0]),
+                               rhp["mano_pose"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["mano_trans"][0]),
+                               rhp["mano_trans"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["mano_beta"][0]),
+                               rhp["mano_beta"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["palm_template"][0]),
+                               np.asarray(rhp["palm_template"]), atol=2e-5)
+
+    gop, rop = batch["gt_obj_pose"], full["gt_obj_pose"]
+    np.testing.assert_allclose(np.asarray(gop["rotation"][0]),
+                               np.asarray(rop["rotation"]).reshape(3, 3),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gop["translation"][0]),
+                               np.asarray(rop["translation"]).reshape(3, 1),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(gop["scale"][0]),
+                               float(np.asarray(rop["scale"]).ravel()[0]),
+                               atol=1e-6)
+    # up/down symmetry flag: reference hardcodes can/box (HO3D_dataset.py:236)
+    cat = meta["category"]
+    assert rop["up_and_down_sym"] == (("can" in cat) or ("box" in cat)) is True
+    # zero obj jitter passes the pose through unchanged
+    np.testing.assert_allclose(
+        np.asarray(full["jittered_obj_pose"]["rotation"]).reshape(3, 3),
+        np.asarray(rop["rotation"]).reshape(3, 3), atol=1e-6)
+    jop = batch["jittered_obj_pose"]
+    np.testing.assert_allclose(np.asarray(jop["rotation"][0]),
+                               np.asarray(gop["rotation"][0]), atol=0)
+
+    proj = full["projection"]
+    np.testing.assert_allclose(
+        np.asarray(batch["projection"][0]),
+        [proj["fx"], proj["fy"], proj["cx"], proj["cy"], proj["w"], proj["h"]],
+        atol=1e-6)
+
+    pred = full["pred_obj_pose"]
+    np.testing.assert_allclose(np.asarray(batch["pred_obj_pose"]["rotation"][0]),
+                               pred["rotation"], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(batch["pred_obj_pose"]["translation"][0]).ravel(),
+        np.asarray(pred["translation"]).ravel(), atol=1e-6)
+    assert meta["file_name"] == full["file_name"] == "ABF10/0000"
+    assert meta["category"] == full["category"] == "box"
+
+
+def test_dexycb_full_sample_parity(tmp_path):
+    """DexYCB flavor: generate_dexycb_data (DexYCB_dataset.py:113-240) vs
+    this package's reader + prepare_batch on one fixture tree. The reference
+    runs the real manopth ManoLayer (mm outputs, PCA+hands_mean pose mapping
+    — reference_loader's stub reproduces those semantics on the reference's
+    own OurManoLayer) and its open3d stride-2 backprojection (behavior-
+    complete stub). Pins: metric hand kp / palm template / filter centers,
+    the obj_scale/2 + 0.15 radius filters (with injected outliers), and one
+    documented deviation — the reference stores the RAW PCA coefficients as
+    gt_hand_pose['mano_pose'] (DexYCB_dataset.py:201) while this package
+    stores the converted axis-angle (the form every MANO consumer needs)."""
+    from reference_loader import reference_module, write_fake_mano_pkl
+
+    from hotrack_tpu.data import prepare_batch, stack_frames
+    from hotrack_tpu.data.dexycb import DexYCBDataset, pca_pose_to_axisangle
+
+    mano = synthetic_mano_model()
+    root = str(tmp_path / "dexycb")
+    os.makedirs(root)
+    seq = _make_dexycb_tree(root, mano, n_frames=1)
+    seq_dir = pjoin(root, seq.replace("+", "/"))
+
+    # inject far outliers into both labels at z=2.0 m
+    npz0 = pjoin(seq_dir, "labels_000000.npz")
+    anno = dict(np.load(npz0))
+    seg = anno["seg"]
+    seg[0:20, 0:20] = 255   # far hand-labeled blob
+    seg[0:20, 30:50] = 13   # far obj-labeled blob
+    anno["seg"] = seg
+    np.savez(npz0, **anno)
+    from PIL import Image
+    dpth_pth = pjoin(seq_dir, "aligned_depth_to_color_000000.png")
+    depth = np.array(Image.open(dpth_pth))
+    depth[0:20, 0:50] = 2000  # 2.0 m
+    Image.fromarray(depth).save(dpth_pth)
+
+    ref_dex = reference_module("DexYCB_dataset")
+    mano_dir = str(tmp_path / "mano")
+    write_fake_mano_pkl(mano_dir, seed=0)
+    from manopth.manolayer import ManoLayer  # reference_loader stub
+    ref_layer = ManoLayer(mano_root=mano_dir, side="right", use_pca=True,
+                          ncomps=45, flat_hand_mean=False)
+
+    rng = np.random.RandomState(8)
+    poses = [{"rotation": np.linalg.qr(rng.randn(3, 3))[0],
+              "translation": rng.randn(3, 1) * 0.1}]
+    pred_dir = tmp_path / "pred"
+    pred_dir.mkdir()
+    with open(pred_dir / ("%s+000000.pkl" % seq), "wb") as f:
+        pickle.dump({"pred_obj_poses": poses}, f)
+
+    obj_jit, hand_jit = _zero_jitter()
+    big = 4096
+    full = ref_dex.generate_dexycb_data(
+        root, seq.replace("+", "/"), 0, big, "cpu", ref_layer, obj_jit,
+        str(pred_dir), 0, True, hand_jit, "kp")
+    assert full is not None
+
+    cfg = {"data_cfg": {"basepath": root, "dataset_name": "DexYCB"},
+           "num_points": big, "obj_category": ["bowl"],
+           "use_pred_obj_pose": True, "pred_obj_pose_dir": str(pred_dir)}
+    ds = DexYCBDataset(cfg, "test")
+    frame, meta = ds[0]
+    assert bool(frame.valid)
+
+    # ---- clouds through the obj_scale/2 and 0.15 radius filters ----
+    my_hand = np.asarray(frame.hand_points)[np.asarray(frame.hand_valid)]
+    my_obj = np.asarray(frame.obj_points)[np.asarray(frame.obj_valid)]
+    n_hand_blob = len(_blob_cloud(HAND_BLOB, stride=2, quant=1e-3))
+    assert my_hand.shape[0] == n_hand_blob  # outliers filtered, blob kept
+    assert full["hand_points"].shape == my_hand.shape
+    assert full["obj_points"].shape == my_obj.shape
+    np.testing.assert_allclose(_sorted_rows(full["hand_points"]),
+                               _sorted_rows(my_hand), atol=1e-6)
+    np.testing.assert_allclose(_sorted_rows(full["obj_points"]),
+                               _sorted_rows(my_obj), atol=1e-6)
+
+    # ---- annotation assembly ----
+    batch = prepare_batch(mano, jax.tree.map(jnp.asarray, stack_frames([frame])),
+                          jax.random.PRNGKey(0), 64, template_with_theta=True)
+    np.testing.assert_allclose(np.asarray(batch["gt_hand_kp"][0]),
+                               full["gt_hand_kp"], atol=2e-5)
+    np.testing.assert_array_equal(full["jittered_hand_kp"], full["gt_hand_kp"])
+
+    ghp, rhp = batch["gt_hand_pose"], full["gt_hand_pose"]
+    np.testing.assert_allclose(np.asarray(ghp["translation"][0]).ravel(),
+                               np.asarray(rhp["translation"]).ravel(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ghp["rotation"][0]),
+                               np.asarray(rhp["rotation"]).reshape(3, 3),
+                               atol=1e-5)
+    assert abs(float(ghp["scale"][0]) - rhp["scale"]) < 1e-7 and rhp["scale"] == 0.2
+    # documented deviation: reference keeps PCA coeffs, we store axis-angle
+    np.testing.assert_allclose(
+        np.asarray(ghp["mano_pose"][0]),
+        pca_pose_to_axisangle(mano, np.asarray(rhp["mano_pose"],
+                                               np.float32)[:48]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["mano_trans"][0]),
+                               rhp["mano_trans"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["mano_beta"][0]),
+                               rhp["mano_beta"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ghp["palm_template"][0]),
+                               np.asarray(rhp["palm_template"]), atol=2e-5)
+
+    gop, rop = batch["gt_obj_pose"], full["gt_obj_pose"]
+    np.testing.assert_allclose(np.asarray(gop["rotation"][0]),
+                               np.asarray(rop["rotation"]).reshape(3, 3),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gop["translation"][0]).ravel(),
+                               np.asarray(rop["translation"]).ravel(),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(gop["scale"][0]),
+                               float(np.asarray(rop["scale"]).ravel()[0]),
+                               atol=1e-6)
+    cat = meta["category"]
+    assert rop["up_and_down_sym"] == (("can" in cat) or ("box" in cat)) is False
+
+    proj = full["projection"]
+    np.testing.assert_allclose(
+        np.asarray(batch["projection"][0]),
+        [proj["fx"], proj["fy"], proj["cx"], proj["cy"], proj["w"], proj["h"]],
+        atol=1e-6)
+
+    pred = full["pred_obj_pose"]
+    np.testing.assert_allclose(np.asarray(batch["pred_obj_pose"]["rotation"][0]),
+                               pred["rotation"], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(batch["pred_obj_pose"]["translation"][0]).ravel(),
+        np.asarray(pred["translation"]).ravel(), atol=1e-6)
+    assert meta["file_name"] == full["file_name"]
