@@ -12,11 +12,23 @@ bitwise trajectory (that is test_train_step_parity's job).
 
 Usage: python scripts/ab_framework_quality.py [--epochs 20] [--instances 8]
            [--frames 50] [--num_points 512] [--batch 32]
+       python scripts/ab_framework_quality.py --track_eval   # after training:
+           sequence-tracking MPJPE of both trained nets, each through its own
+           tracking driver (reference: HandTrackModel last-frame-kp loop,
+           track_network.py:139-226; ours: track/hand.py lax.scan driver)
+       python scripts/ab_framework_quality.py --net iknet    # second model
+           family: equal-budget IKNet A/B (quat L1 on held-out + an
+           articulation FK-MPJPE: both frameworks' predicted joint quats
+           through the SAME synthetic rig, identity root / zero trans —
+           framework-neutral by construction)
 Writes results to stdout; record them in BENCHMARKS.md.
 """
 import argparse
+import contextlib
+import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -25,6 +37,81 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 import jax
 jax.config.update("jax_platforms", os.environ.get("AB_PLATFORM", "cpu"))
 import numpy as np
+
+
+def torch_track_eval(args, mano_dir):
+    """Reference tracking: HandTrackModel (handnet-only, GT shape) over the
+    test sequences — per-frame handnet with the last-frame-kp recentering
+    trick (track_network.py:161-163, 216-218). Returns per-frame-mean
+    tracking kp error in meters, averaged over sequences."""
+    from reference_loader import reference_module, write_fake_mano_pkl
+    from hotrack_tpu.config import get_config
+
+    ref_trainer_mod = reference_module("trainer")
+    ref_dataset_mod = reference_module("dataset")
+
+    exp_dir = os.path.join(args.root, "exps", "ab_torch")
+    tcfg = dict(get_config({"config": "handtracknet_test_SimGrasp.yml",
+                            "num_points": args.num_points}, save=False))
+    tcfg.update(device="cpu", num_workers=0, use_optimization=False,
+                sdf_code_source="gt", mano_root=mano_dir,
+                experiment_dir=exp_dir,
+                save_dir=os.path.join(exp_dir, "results"))
+
+    # HandTrackModel builds OurManoLayer() at its CWD-relative default path
+    # (track_network.py:137, our_mano.py:156-165)
+    scratch = tempfile.mkdtemp(prefix="abq_track_")
+    write_fake_mano_pkl(os.path.join(scratch, "third_party", "mano", "models"))
+
+    dl = ref_dataset_mod.get_dataloader(tcfg, "test", shuffle=False)
+    with contextlib.chdir(scratch):
+        trainer = ref_trainer_mod.Trainer(tcfg, None, len(dl))
+        trainer.resume(len(dl))
+        kp, n_seq = 0.0, 0
+        for data in dl:
+            ld, _ = trainer.test(data)
+            # compute_loss add_dict-SUMS over frames (track_network.py:239)
+            kp += float(ld["hand_pred_kp_diff"]) / len(data)
+            n_seq += 1
+            print(f"[torch-track] seq {n_seq - 1}: kp_diff "
+                  f"{float(ld['hand_pred_kp_diff']) / len(data):.6f} m",
+                  flush=True)
+    return kp / max(n_seq, 1)
+
+
+def jax_track_eval(args):
+    """Our tracking driver (track/hand.py scan) via the production test CLI
+    on the same test sequences + checkpoint trained by the jax leg."""
+    from hotrack_tpu.train.cli import test_main
+
+    sys.argv = ["test", "--config", "handtracknet_test_SimGrasp.yml",
+                "--num_points", str(args.num_points),
+                "--experiment_dir", "ab_quality_jax"]
+    avg, _fps = test_main()
+    return float(avg["hand_pred_kp_diff"])
+
+
+def fk_mpjpe(raw_quat, gt_quat, beta):
+    """Articulation-only FK error in meters: both quat sets (N, 60) through
+    the SAME synthetic rig with identity root / zero trans, so the metric is
+    framework-neutral (the torch leg's quats are FK'd by the same code)."""
+    import jax.numpy as jnp
+    from hotrack_tpu.mano.layer import mano_forward
+    from hotrack_tpu.mano.model import synthetic_mano_model
+    from hotrack_tpu.pose.rotations import mano_quat2axisang
+
+    model = synthetic_mano_model(0)
+
+    def kp(q):
+        b = q.shape[0]
+        root = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0, 0.0]]), (b, 1))
+        pose = mano_quat2axisang(jnp.concatenate([root, jnp.asarray(q)], -1))
+        _, k = mano_forward(model, pose, betas=jnp.asarray(beta),
+                            trans=jnp.zeros((b, 3)))
+        return k
+
+    d = kp(np.asarray(raw_quat)) - kp(np.asarray(gt_quat))
+    return float(jnp.mean(jnp.linalg.norm(d, axis=-1)))
 
 
 def main():
@@ -37,7 +124,14 @@ def main():
     ap.add_argument("--root", type=str, default="/tmp/ab_quality")
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--skip_jax", action="store_true")
+    ap.add_argument("--track_eval", action="store_true",
+                    help="skip training; run sequence-tracking eval of the "
+                         "already-trained checkpoints on both sides")
+    ap.add_argument("--net", choices=["handtracknet", "iknet"],
+                    default="handtracknet")
     args = ap.parse_args()
+    assert not (args.track_eval and args.net == "iknet"), \
+        "tracking A/B is the handtracknet protocol"
 
     import torch
     from reference_loader import (reference_module, write_fake_mano_pkl)
@@ -54,15 +148,37 @@ def main():
     mano_dir = os.path.join(args.root, "mano")
     write_fake_mano_pkl(mano_dir, seed=0)
 
+    if args.track_eval:
+        results = {}
+        if not args.skip_torch:
+            results["torch_track_m"] = torch_track_eval(args, mano_dir)
+            print(f"[torch] TRACKING kp_diff {results['torch_track_m']:.6f} m",
+                  flush=True)
+        if not args.skip_jax:
+            results["jax_track_m"] = jax_track_eval(args)
+            print(f"[jax] TRACKING kp_diff {results['jax_track_m']:.6f} m",
+                  flush=True)
+        if len(results) == 2:
+            print(f"\ntracking A/B: torch {results['torch_track_m']*100:.3f} cm"
+                  f"   jax {results['jax_track_m']*100:.3f} cm   (ratio "
+                  f"{results['jax_track_m']/results['torch_track_m']:.3f})")
+        with open(os.path.join(args.root, "track_results.json"), "w") as f:
+            json.dump(results, f)
+        return
+
     # shared hyperparameters from the shipped config
     from hotrack_tpu.config import get_config
     # the synthetic generator writes splits/<cat>/seq/{train,test}.txt
     # itself (last instance = test); both loaders prefer existing splits
-    cfg = get_config({"config": "handtracknet_train_SimGrasp.yml",
+    cfg_name = ("iknet_train_SimGrasp.yml" if args.net == "iknet"
+                else "handtracknet_train_SimGrasp.yml")
+    jax_exp = "ab_quality_jax" + ("_ik" if args.net == "iknet" else "")
+    torch_exp = "ab_torch" + ("_ik" if args.net == "iknet" else "")
+    cfg = get_config({"config": cfg_name,
                       "num_points": args.num_points,
                       "batch_size": args.batch,
                       "total_epoch": args.epochs,
-                      "experiment_dir": "ab_quality_jax"},
+                      "experiment_dir": jax_exp},
                      save=False)
 
     results = {}
@@ -77,7 +193,7 @@ def main():
         tcfg["device"] = "cpu"
         tcfg["mano_root"] = mano_dir
         tcfg["num_workers"] = 0
-        tcfg["experiment_dir"] = os.path.join(args.root, "exps", "ab_torch")
+        tcfg["experiment_dir"] = os.path.join(args.root, "exps", torch_exp)
         os.makedirs(tcfg["experiment_dir"], exist_ok=True)
 
         train_dl = ref_dataset_mod.get_dataloader(tcfg, "train")
@@ -96,16 +212,25 @@ def main():
         # eval (reference test() returns the raw loss dict, no summarize —
         # trainer.py:304-317; weight it like its update does)
         lw = tcfg["network"]["loss_weight"]
-        kp_diff, tot, n = 0.0, 0.0, 0
+        metric_key = ("quat_loss" if args.net == "iknet"
+                      else "hand_pred_kp_diff")
+        met, tot, n = 0.0, 0.0, 0
+        rq, gq, bt = [], [], []
         for data in test_dl:
-            ld, _ = trainer.test(data)
-            kp_diff += float(ld["hand_pred_kp_diff"])
+            ld, ret = trainer.test(data)
+            met += float(ld[metric_key])
             tot += sum(w * float(ld[k]) for k, w in lw.items()); n += 1
-        results["torch"] = {"kp_diff_m": kp_diff / n, "total_loss": tot / n,
+            if args.net == "iknet":
+                rq.append(ret["raw_quat"].detach().numpy())
+                gq.append(ret["gt_quat"].detach().numpy())
+                bt.append(data["gt_hand_pose"]["mano_beta"].numpy())
+        results["torch"] = {metric_key: met / n, "total_loss": tot / n,
                             "train_s": time.time() - t0}
-        print(f"[torch] TEST hand_pred_kp_diff {results['torch']['kp_diff_m']:.6f} m, "
-              f"total_loss {results['torch']['total_loss']:.4f}, "
-              f"wall {results['torch']['train_s']:.0f}s", flush=True)
+        if args.net == "iknet":
+            results["torch"]["fk_mpjpe_m"] = fk_mpjpe(
+                np.concatenate(rq), np.concatenate(gq), np.concatenate(bt))
+        trainer.save()  # model_{epoch:04d}.pt for the tracking leg
+        print(f"[torch] TEST {results['torch']}", flush=True)
 
     # ------------------------------------------------------------- jax side
     # drives the production CLI loop (train/cli.py train_main) verbatim,
@@ -116,37 +241,67 @@ def main():
         from hotrack_tpu.data import get_dataloader
         from hotrack_tpu.train import cli as jcli
 
-        sys.argv = ["train", "--config", "handtracknet_train_SimGrasp.yml",
+        sys.argv = ["train", "--config", cfg_name,
                     "--num_points", str(args.num_points),
                     "--batch_size", str(args.batch),
                     "--epochs", str(args.epochs),
-                    "--experiment_dir", "ab_quality_jax"]
+                    "--experiment_dir", jax_exp]
         trainer = jcli.train_main()
 
         jcfg = dict(trainer.cfg)
         test_dl = get_dataloader(jcfg, "test", shuffle=False)
         key = jax.random.PRNGKey(1)
         lw = jcfg["network"]["loss_weight"]
-        kp_diff, tot, n = 0.0, 0.0, 0
+        metric_key = ("quat_loss" if args.net == "iknet"
+                      else "hand_pred_kp_diff")
+        met, tot, n = 0.0, 0.0, 0
+        rq, gq, bt = [], [], []
         for raw, _ in test_dl:
             key, k1 = jax.random.split(key)
             batch = jcli.prepare(trainer, raw, k1, jcfg)
             ld = trainer.test(batch)
-            kp_diff += float(ld["hand_pred_kp_diff"])
+            met += float(ld[metric_key])
             tot += sum(w * float(ld[k]) for k, w in lw.items()); n += 1
-        results["jax"] = {"kp_diff_m": kp_diff / n, "total_loss": tot / n,
+            if args.net == "iknet":
+                from hotrack_tpu.train.trainer import _gt_joint_quats
+                ret = trainer.model.apply(
+                    trainer.variables, batch["jittered_hand_kp"],
+                    batch["gt_hand_pose"]["palm_template"], train=False)
+                rq.append(np.asarray(ret["raw_quat"]))
+                gq.append(np.asarray(_gt_joint_quats(batch)))
+                bt.append(np.asarray(batch["gt_hand_pose"]["mano_beta"]))
+        results["jax"] = {metric_key: met / n, "total_loss": tot / n,
                           "train_s": time.time() - t0}
-        print(f"[jax] TEST hand_pred_kp_diff {results['jax']['kp_diff_m']:.6f} m, "
-              f"total_loss {results['jax']['total_loss']:.4f}, "
-              f"wall {results['jax']['train_s']:.0f}s", flush=True)
+        if args.net == "iknet":
+            results["jax"]["fk_mpjpe_m"] = fk_mpjpe(
+                np.concatenate(rq), np.concatenate(gq), np.concatenate(bt))
+        print(f"[jax] TEST {results['jax']}", flush=True)
 
     if len(results) == 2:
         r = results
-        print(f"\nA/B @ {args.epochs} epochs, {args.instances} instances x "
-              f"{args.frames} frames, {args.num_points} pts, batch {args.batch}:")
-        print(f"  torch  kp_diff {r['torch']['kp_diff_m']*100:.3f} cm   "
-              f"jax kp_diff {r['jax']['kp_diff_m']*100:.3f} cm   "
-              f"(ratio {r['jax']['kp_diff_m']/r['torch']['kp_diff_m']:.3f})")
+        mk = "quat_loss" if args.net == "iknet" else "hand_pred_kp_diff"
+        print(f"\nA/B [{args.net}] @ {args.epochs} epochs, {args.instances} "
+              f"instances x {args.frames} frames, {args.num_points} pts, "
+              f"batch {args.batch}:")
+        print(f"  torch {mk} {r['torch'][mk]:.5f}   "
+              f"jax {mk} {r['jax'][mk]:.5f}   "
+              f"(ratio {r['jax'][mk]/r['torch'][mk]:.3f})")
+        if args.net == "iknet":
+            print(f"  torch fk_mpjpe {r['torch']['fk_mpjpe_m']*100:.3f} cm   "
+                  f"jax fk_mpjpe {r['jax']['fk_mpjpe_m']*100:.3f} cm   (ratio "
+                  f"{r['jax']['fk_mpjpe_m']/r['torch']['fk_mpjpe_m']:.3f})")
+    if results:
+        path = os.path.join(args.root,
+                            f"singleframe_results_{args.net}.json"
+                            if args.net == "iknet" else
+                            "singleframe_results.json")
+        old = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                old = json.load(f)
+        old.update(results)
+        with open(path, "w") as f:
+            json.dump(old, f)
 
 
 if __name__ == "__main__":
