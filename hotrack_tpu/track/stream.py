@@ -23,15 +23,42 @@ tracker's step is `optimize_obj_pose` itself, exactly the scan body of
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
+from typing import Any, Iterable, Iterator, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..mano.model import ManoModel
 from ..opt.hand_shape import kp2length, optimize_hand_shape
 from ..opt.obj_pose import optimize_obj_pose
 from .hand import _make_hand_step, _rest_palm_template
+
+
+def _serve(step_fn, state, inputs: Iterable, fetch) -> Iterator[dict]:
+    """Double-buffered serving loop shared by both trackers.
+
+    Dispatches frame f+1 BEFORE fetching frame f's outputs: jax's async
+    dispatch queues the next step while the previous result crosses
+    device->host, so the transfer latency hides behind compute instead of
+    being paid per frame (measured: 59.0 -> 32.0 ms/frame through the axon
+    relay, within 4 ms of the device-resident bound — BENCHMARKS.md
+    "Realistic serving loop"). The consumer sees one frame of added latency
+    and per-frame host dicts in input order, one per input (the stream may
+    be infinite — a live camera — or a finite clip; both are flushed
+    exactly)."""
+    prev = None
+    for inp in inputs:
+        if isinstance(inp, dict):
+            state, out = step_fn(state, **inp)
+        else:
+            state, out = step_fn(state, inp)
+        sel = {k: out[k] for k in fetch} if fetch is not None else out
+        if prev is not None:
+            yield jax.tree.map(np.asarray, prev)
+        prev = sel
+    if prev is not None:
+        yield jax.tree.map(np.asarray, prev)
 
 
 class HandTracker:
@@ -136,6 +163,17 @@ class HandTracker:
             xs["projection"] = jnp.asarray(projection, self._dtype)
         return self._step(state, xs)
 
+    def serve(self, state: dict, frames: Iterable,
+              fetch: Sequence[str] | None = ("pred_kp",)) -> Iterator[dict]:
+        """Double-buffered serving: yields one host dict per frame, in
+        order, fetching only the `fetch` keys (None = everything). `frames`
+        is an iterable of per-frame `step` kwargs dicts (hand_points,
+        background_mask, obj_rotation, obj_translation, projection) or bare
+        hand_points arrays. One frame of latency buys hiding the
+        device->host round-trip behind the next frame's compute; use `step`
+        directly when the final state must be carried onward."""
+        return _serve(self.step, state, frames, fetch)
+
 
 class ObjTracker:
     """Streaming object 6-DoF tracking: per-frame gradient-free particle
@@ -165,3 +203,10 @@ class ObjTracker:
     def step(self, state, obj_points: jnp.ndarray):
         """One frame: obj_points (N, 3) -> (state, out dict)."""
         return self._step(state, obj_points)
+
+    def serve(self, state, clouds: Iterable,
+              fetch: Sequence[str] | None = ("rotation", "translation"),
+              ) -> Iterator[dict]:
+        """Double-buffered serving over an iterable of (N, 3) object
+        clouds; see HandTracker.serve."""
+        return _serve(self.step, state, clouds, fetch)

@@ -125,23 +125,26 @@ def main():
     print(f"serving loop (host upload + kp-only fetch): {best * 1000:.1f} "
           f"ms/frame = {1.0 / best:.1f} frames/s", flush=True)
 
-    # double-buffered serving: dispatch frame f+1 BEFORE fetching frame f's
-    # keypoints — jax async dispatch overlaps the relay round-trip with the
-    # next frame's compute, so the fetch latency is hidden, not paid
+    # double-buffered serving via the PRODUCT API (HandTracker.serve):
+    # dispatch frame f+1 BEFORE fetching frame f's keypoints — jax async
+    # dispatch overlaps the relay round-trip with the next frame's compute,
+    # so the fetch latency is hidden, not paid
+    def frame_kwargs(f):
+        return {"hand_points": jnp.asarray(host_frames[f]),
+                "background_mask": mask,
+                "obj_rotation": jnp.asarray(host_r[f]),
+                "obj_translation": jnp.asarray(host_t[f]),
+                "projection": jnp.asarray(host_p[f])}
+
     best = float("inf")
     for _ in range(4):
-        s = state
         t0 = time.perf_counter()
-        prev = None
-        for f in range(n):
-            s, out = one_host(s, f)
-            if prev is not None:
-                kp = np.asarray(prev)              # fetch f-1 after f queued
-            prev = out["pred_kp"]
-        kp = np.asarray(prev)
+        for out in tracker.serve(state, (frame_kwargs(f) for f in range(n))):
+            kp = out["pred_kp"]                     # host np, one frame behind
         best = min(best, (time.perf_counter() - t0) / n)
-    print(f"serving loop (double-buffered kp fetch): {best * 1000:.1f} "
-          f"ms/frame = {1.0 / best:.1f} frames/s", flush=True)
+    print(f"serving loop (double-buffered kp fetch, tracker.serve): "
+          f"{best * 1000:.1f} ms/frame = {1.0 / best:.1f} frames/s",
+          flush=True)
 
 
 if __name__ == "__main__":

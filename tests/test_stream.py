@@ -202,3 +202,66 @@ def test_obj_stream_matches_scan(env):
     np.testing.assert_allclose(
         np.stack([np.asarray(o["translation"]) for o in outs]),
         np.asarray(scan.translation), atol=1e-6, rtol=0)
+
+
+def test_hand_serve_matches_step(env):
+    """serve() (double-buffered generator) == an explicit step loop,
+    bitwise: same step function, same order, one output per input. Also
+    covers bare-array inputs, dict inputs, fetch=None, and that the
+    source can be a lazy generator (live-camera shape)."""
+    mano, batch, trainer = env
+    tracker = HandTracker(trainer.model, trainer.variables, mano)
+    t_frames = batch["hand_points"].shape[0]
+
+    state = tracker.init_state(batch["hand_points"][0],
+                               batch["jittered_hand_kp"][0])
+    expect = []
+    for f in range(t_frames):
+        state, out = tracker.step(state, batch["hand_points"][f])
+        expect.append(np.asarray(out["pred_kp"]))
+
+    # bare arrays from a lazy generator, default fetch
+    state = tracker.init_state(batch["hand_points"][0],
+                               batch["jittered_hand_kp"][0])
+    frames = (batch["hand_points"][f] for f in range(t_frames))
+    got = list(tracker.serve(state, frames))
+    assert len(got) == t_frames
+    assert all(set(g) == {"pred_kp"} for g in got)
+    for g, e in zip(got, expect):
+        assert isinstance(g["pred_kp"], np.ndarray)
+        np.testing.assert_array_equal(g["pred_kp"], e)
+
+    # dict inputs + fetch=None returns every output key
+    state = tracker.init_state(batch["hand_points"][0],
+                               batch["jittered_hand_kp"][0])
+    frames = [{"hand_points": batch["hand_points"][f]}
+              for f in range(t_frames)]
+    full = list(tracker.serve(state, frames, fetch=None))
+    assert len(full) == t_frames
+    assert "baseline_pred_kp" in full[0] and "pred_kp" in full[0]
+    for g, e in zip(full, expect):
+        np.testing.assert_array_equal(g["pred_kp"], e)
+
+
+def test_obj_serve_matches_step(env):
+    mano, batch, trainer = env
+    vol = synthetic_box_sdf_setup(65, 0.006)
+    particles = presample_particles(jax.random.PRNGKey(5), 64, 6)
+    pts = batch["obj_points"][:3]
+    r0 = batch["jittered_obj_pose"]["rotation"][0]
+    t0 = batch["jittered_obj_pose"]["translation"][0]
+
+    tracker = ObjTracker(vol, particles, voxel_scale=0.006, bbox_res=65)
+    state = tracker.init_state(r0, t0)
+    expect = []
+    for f in range(pts.shape[0]):
+        state, out = tracker.step(state, pts[f])
+        expect.append(jax.tree.map(np.asarray, out))
+
+    state = tracker.init_state(r0, t0)
+    got = list(tracker.serve(state, list(pts)))
+    assert len(got) == len(expect)
+    assert set(got[0]) == {"rotation", "translation"}
+    for g, e in zip(got, expect):
+        np.testing.assert_array_equal(g["rotation"], e["rotation"])
+        np.testing.assert_array_equal(g["translation"], e["translation"])
