@@ -12,7 +12,14 @@ points:
              5 iters, fused energy kernel -> ms/frame;
   - pipeline: the full hand-stage deployment path (HandTrackNet -> frame-0
              shape opt -> IKNet -> per-frame pose opt, one lax.scan) plus
-             the per-sequence SDF distillation -> end-to-end frames/s.
+             the per-sequence SDF distillation -> end-to-end frames/s;
+  - train:   one jitted Trainer train step (forward + loss + grads + Adam),
+             512 pts, batch 32 -> samples/s/chip (reference: Trainer.update,
+             network/trainer.py:278-302).
+
+Every stage reports the min AND the median over timing rounds — the min is
+the steady-state (the axon tunnel has multi-x slow patches), the median
+makes the tunnel-variance band visible in the artifact.
 
 The optimizer stages also report achieved TFLOP/s and MFU from analytic
 matmul FLOP counts (XLA cost_analysis is unreliable through the axon relay)
@@ -23,7 +30,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
 headline plus a "stages" payload with the optimizer-stage numbers, so the
 expensive stages are regression-visible to the driver (BENCH_r{N}.json).
 
-BENCH_STAGES=hand|objopt|handopt|pipeline|all (default all); BENCH_FRAMES/BENCH_REPS
+BENCH_STAGES=hand|objopt|handopt|pipeline|train|all (default all); BENCH_FRAMES/BENCH_REPS
 shrink the run; BENCH_DTYPE=bfloat16 runs the tracker MXU work in bf16.
 Timing uses chained data dependencies + a final host fetch — block_until_
 ready does not reliably wait through the axon TPU tunnel.
@@ -60,12 +67,18 @@ def _mfu(flops_per_call, sec_per_call):
     return round(tflops, 2), round(tflops * 1e12 / V5E_PEAK_FLOPS, 4)
 
 
-def _hand_setup(mano):
-    """Shared data + HandTrackNet setup for the hand and pipeline stages."""
-    from hotrack_tpu.data import get_dataloader, prepare_batch
+def _rounds(chained, reps, n_rounds=3):
+    """min + median over n_rounds of the chained-rep timer (seconds/rep).
+    The axon tunnel has multi-x slow patches, so the min is the honest
+    steady-state; the median makes the variance band visible in the
+    artifact instead of hiding it (VERDICT r3)."""
+    times = sorted(chained(reps) for _ in range(n_rounds))
+    return times[0] / reps, times[len(times) // 2] / reps
+
+
+def _ensure_bench_data(mano):
+    """Synthetic SimGrasp set shared by the hand/pipeline/train stages."""
     from hotrack_tpu.data.synthetic import generate_simgrasp_dataset
-    from hotrack_tpu.config import get_config
-    from hotrack_tpu.train import Trainer
 
     num_frames = int(os.environ.get("BENCH_FRAMES", 100))
     cache_root = os.path.join(tempfile.gettempdir(),
@@ -77,6 +90,15 @@ def _hand_setup(mano):
                                   mano_model=mano)
         open(marker, "w").close()
     os.environ["HOTRACK_DATA_ROOT"] = cache_root
+
+
+def _hand_setup(mano):
+    """Shared data + HandTrackNet setup for the hand and pipeline stages."""
+    from hotrack_tpu.data import get_dataloader, prepare_batch
+    from hotrack_tpu.config import get_config
+    from hotrack_tpu.train import Trainer
+
+    _ensure_bench_data(mano)
 
     cfg = get_config({"config": "handtracknet_test_SimGrasp.yml",
                       "experiment_dir": "bench", "save_dir": "bench"},
@@ -117,16 +139,14 @@ def bench_hand(mano):
 
     chained(1)  # warm-up / compile
     reps = int(os.environ.get("BENCH_REPS", 5))
-    # min over rounds: the axon tunnel has multi-x slow patches (measured a
-    # 348 ms reading for a 56 ms steady-state stage) — a single averaged
-    # round can record pure relay noise
-    dt = min(chained(reps) for _ in range(3)) / reps
+    dt, dt_med = _rounds(chained, reps)
     frames = batch["hand_points"].shape[0]
 
     # the tracking scan is latency-bound (~0.4 ms/frame fixed cost, not
     # FLOPs) — an MFU number would be noise, so only wall-clock is reported
     return {"frames_per_sec": round(frames / dt, 2),
-            "ms_per_frame": round(1000.0 * dt / frames, 3)}
+            "ms_per_frame": round(1000.0 * dt / frames, 3),
+            "ms_per_frame_median": round(1000.0 * dt_med / frames, 3)}
 
 
 def bench_objopt():
@@ -162,10 +182,11 @@ def bench_objopt():
 
     chained(1)
     reps = int(os.environ.get("BENCH_REPS", 5)) * 2
-    dt = min(chained(reps) for _ in range(3)) / reps
+    dt, dt_med = _rounds(chained, reps, n_rounds=5)
     flops = 10 * 2048 * 1024 * _mlp_flops_per_point(distilled)
     tflops, mfu = _mfu(flops, dt)
     return {"ms_per_frame": round(1000.0 * dt, 2),
+            "ms_per_frame_median": round(1000.0 * dt_med, 2),
             "achieved_tflops": tflops, "mfu_vs_v5e_bf16_peak": mfu}
 
 
@@ -238,10 +259,11 @@ def bench_pipeline(mano):
 
     chained(1)  # warm-up / compile
     reps = max(2, int(os.environ.get("BENCH_REPS", 5)) - 2)
-    dt = min(chained(reps) for _ in range(3)) / reps
+    dt, dt_med = _rounds(chained, reps)
     fps = t_frames / (dt + distill_s)
     return {"frames_per_sec_incl_distill": round(fps, 2),
             "track_ms_per_frame": round(1000.0 * dt / t_frames, 2),
+            "track_ms_per_frame_median": round(1000.0 * dt_med / t_frames, 2),
             "distill_s_per_seq": round(distill_s, 3)}
 
 
@@ -299,7 +321,7 @@ def bench_handopt(mano):
 
     chained(1)
     reps = int(os.environ.get("BENCH_REPS", 5))
-    dt = min(chained(reps) for _ in range(3)) / reps
+    dt, dt_med = _rounds(chained, reps, n_rounds=5)
     # executed MXU FLOPs of the fused skin+energy kernel (hand_energy_skin):
     # SDF MLP + two-level silhouette one-hot contraction (HA*WP x HB per
     # point; exact-selection work the MXU really runs) + in-kernel pose
@@ -312,6 +334,65 @@ def bench_handopt(mano):
     flops = 5 * 5120 * 896 * per_pt
     tflops, mfu = _mfu(flops, dt)
     return {"ms_per_frame": round(1000.0 * dt, 2),
+            "ms_per_frame_median": round(1000.0 * dt_med, 2),
+            "achieved_tflops": tflops, "mfu_vs_v5e_bf16_peak": mfu}
+
+
+def bench_train(mano):
+    """Training-step throughput at the shipped operating point (reference
+    counterpart: Trainer.update, network/trainer.py:278-302, driven by
+    train.py:61-88): HandTrackNet, 512 pts, 384-dim backbone, batch 32,
+    one jitted forward+loss+grads+Adam step, chained state dependency
+    (step N's state feeds step N+1; final host fetch forces the chain)."""
+    from hotrack_tpu.config import get_config
+    from hotrack_tpu.data import get_dataloader
+    from hotrack_tpu.train import Trainer
+    from hotrack_tpu.train.cli import prepare
+
+    _ensure_bench_data(mano)
+    cfg = get_config({"config": "handtracknet_train_SimGrasp.yml",
+                      "batch_size": 32, "experiment_dir": "bench_train"},
+                     save=False)
+    loader = get_dataloader(cfg, "train")
+    cfg["dataset_len"] = len(loader)
+    trainer = Trainer(cfg)
+    trainer.mano = mano
+    raw, _ = loader[0]
+    key = jax.random.PRNGKey(0)
+    batch = prepare(trainer, raw, key, cfg)
+    trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    trainer.update(batch, keys[-1])  # warm-up: reachability probe + compile
+
+    def chained(reps):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            ld = trainer.update(batch, keys[i % (len(keys) - 1)])
+        np.asarray(ld["total_loss"])  # forces the whole state chain
+        return time.perf_counter() - t0
+
+    reps = int(os.environ.get("BENCH_REPS", 5)) * 2
+    dt, dt_med = _rounds(chained, reps, n_rounds=5)
+    bsz = batch["hand_points"].shape[0]
+
+    # FLOP model: XLA's own HLO cost analysis of the lowered step (client-
+    # side; guarded — it has been unreliable through the axon relay)
+    flops = None
+    try:
+        lowered = trainer._train_step.lower(trainer.state, batch, keys[0])
+        cost = lowered.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        f = float(cost.get("flops", 0.0))
+        if 1e9 < f < 1e15:
+            flops = f
+    except Exception:
+        pass
+    tflops, mfu = _mfu(flops, dt) if flops else (None, None)
+    return {"samples_per_sec_per_chip": round(bsz / dt, 1),
+            "step_ms": round(1000.0 * dt, 2),
+            "step_ms_median": round(1000.0 * dt_med, 2),
+            "batch_size": bsz,
             "achieved_tflops": tflops, "mfu_vs_v5e_bf16_peak": mfu}
 
 
@@ -331,6 +412,8 @@ def main():
         stages["handopt"] = bench_handopt(mano)
     if which in ("all", "pipeline"):
         stages["pipeline"] = bench_pipeline(mano)
+    if which in ("all", "train"):
+        stages["train"] = bench_train(mano)
 
     if "hand_tracking" in stages:
         fps = stages["hand_tracking"]["frames_per_sec"]
@@ -344,6 +427,10 @@ def main():
             out = {"metric": f"{name}_ms_per_frame",
                    "value": st["ms_per_frame"], "unit": "ms",
                    "vs_baseline": 0.0}
+        elif "samples_per_sec_per_chip" in st:
+            out = {"metric": f"{name}_samples_per_sec_per_chip",
+                   "value": st["samples_per_sec_per_chip"],
+                   "unit": "samples/s", "vs_baseline": 0.0}
         else:
             out = {"metric": f"{name}_frames_per_sec",
                    "value": st["frames_per_sec_incl_distill"],

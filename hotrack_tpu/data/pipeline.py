@@ -55,9 +55,20 @@ def jitter_obj_pose(key: jax.Array, rotation, translation, scale,
     return new_rot, new_trans, new_scale
 
 
+def _random_subset(key, valid, num_points: int):
+    """Uniform without-replacement subset of the valid points per batch row
+    (invalid points selected only when fewer than num_points are valid) —
+    the reference CPU fallback's np.random.permutation(len)[:n] at fixed
+    shapes."""
+    scores = jax.random.uniform(key, valid.shape)
+    scores = jnp.where(valid, scores, scores - 2.0)
+    _, idx = jax.lax.top_k(scores, num_points)
+    return idx
+
+
 @partial(jax.jit, static_argnames=("num_points", "jitter_kind",
                                    "obj_jitter_kind", "template_with_theta",
-                                   "include_obb"))
+                                   "include_obb", "sample_kind"))
 def prepare_batch(
     mano_model: ManoModel,
     raw: RawFrame,                  # batched (leading axis B)
@@ -69,6 +80,10 @@ def prepare_batch(
     obj_jitter_kind: str = "normal",
     template_with_theta: bool = False,
     include_obb: bool = False,       # handframe='OBB': per-frame OBB canon pose
+    sample_kind: str = "fps",        # 'fps' (reference GPU semantics) |
+                                     # 'random' (its CPU fallback: a fresh
+                                     # uniform subset every draw,
+                                     # data_utils.py:246-249)
 ) -> dict:
     """RawFrame batch -> full_data dict of device arrays.
 
@@ -81,11 +96,22 @@ def prepare_batch(
     b = raw.hand_points.shape[0]
     k_kp, k_obj = jax.random.split(key)
 
-    # --- device FPS at fixed shapes (replaces CUDA FPS in the worker) ---
-    hand_idx = farthest_point_sample(raw.hand_points, num_points, raw.hand_valid)
+    # --- cloud downsampling at fixed shapes (replaces the worker-side CUDA
+    # FPS, data_utils.py:225-249). 'fps' is deterministic per cloud;
+    # 'random' redraws a uniform valid subset every call — the reference's
+    # CPU fallback, whose per-epoch resampling acts as augmentation (the
+    # knob exists so framework A/Bs can run at protocol parity) ---
+    if sample_kind == "random":
+        k_kp, k_s1, k_s2 = jax.random.split(k_kp, 3)
+        hand_idx = _random_subset(k_s1, raw.hand_valid, num_points)
+        obj_idx = _random_subset(k_s2, raw.obj_valid, num_points)
+    else:
+        hand_idx = farthest_point_sample(raw.hand_points, num_points,
+                                         raw.hand_valid)
+        obj_idx = farthest_point_sample(raw.obj_points, num_points,
+                                        raw.obj_valid)
     hand_points = index_points(raw.hand_points, hand_idx)
     hand_valid = jnp.take_along_axis(raw.hand_valid, hand_idx, axis=1)
-    obj_idx = farthest_point_sample(raw.obj_points, num_points, raw.obj_valid)
     obj_points = index_points(raw.obj_points, obj_idx)
     obj_valid = jnp.take_along_axis(raw.obj_valid, obj_idx, axis=1)
 

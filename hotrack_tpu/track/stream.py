@@ -210,3 +210,32 @@ class ObjTracker:
         """Double-buffered serving over an iterable of (N, 3) object
         clouds; see HandTracker.serve."""
         return _serve(self.step, state, clouds, fetch)
+
+
+def serve_combined(hand_tracker: HandTracker, obj_tracker: ObjTracker,
+                   hand_state: dict, obj_state, frames: Iterable,
+                   fetch: Sequence[str] | None = (
+                       "pred_kp", "obj_rotation", "obj_translation"),
+                   ) -> Iterator[dict]:
+    """Joint hand + object serving: both poses out of every frame — the
+    full HOTrack product shape (the reference runs both models per frame,
+    track_network.py:159-226 + 351-369). One double-buffered loop drives
+    both trackers, dispatching frame f+1's hand AND object steps before
+    fetching frame f's selected outputs, so the device->host round-trip
+    hides behind the combined compute.
+
+    `frames` is an iterable of dicts carrying 'obj_points' (N, 3) plus the
+    HandTracker.step kwargs (hand_points, background_mask, obj_rotation,
+    obj_translation, projection). Object outputs are prefixed 'obj_' to
+    avoid colliding with hand keys. Bitwise-equal to stepping both trackers
+    explicitly in the same order (tests/test_stream.py).
+    """
+    def step(state, obj_points=None, **hand_kwargs):
+        h_state, o_state = state
+        h_state, h_out = hand_tracker.step(h_state, **hand_kwargs)
+        o_state, o_out = obj_tracker.step(o_state, obj_points)
+        out = dict(h_out)
+        out.update({f"obj_{k}": v for k, v in o_out.items()})
+        return (h_state, o_state), out
+
+    return _serve(step, (hand_state, obj_state), frames, fetch)

@@ -97,7 +97,8 @@ def prepare(trainer: Trainer, raw, key, cfg):
                          cfg["num_points"], hand_jitter_scale=scale,
                          jitter_kind=kind, obj_jitter=obj,
                          obj_jitter_kind=obj_kind,
-                         include_obb=cfg["network"].get("handframe") == "OBB")
+                         include_obb=cfg["network"].get("handframe") == "OBB",
+                         sample_kind=cfg.get("point_sample", "fps"))
 
 
 def train_main(argv=None):

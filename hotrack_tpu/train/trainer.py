@@ -172,6 +172,10 @@ class Trainer:
         self.optimizer = make_optimizer(cfg)
         self.state: TrainState | None = None
         self.checkpointer = ocp.StandardCheckpointer()
+        # static reachability mask over param leaves (set by init_state);
+        # pytree of Python bools, False = leaf never enters the autodiff
+        # graph for this model config (see _train_step)
+        self._reach_mask = None
 
         # data-parallel training over a device mesh: cfg dp_devices = N or
         # "all" (CLI: --dp_devices 8). State is replicated, each batch is
@@ -216,16 +220,13 @@ class Trainer:
             batch["gt_hand_pose"]["palm_template"])
 
     # ------------------------------------------------------------ steps
-    @partial(jax.jit, static_argnames=("self",))
-    def _train_step(self, state: TrainState, batch: dict, rng):
-        cfg = self.cfg
-        lr = lr_schedule(cfg, state.epoch)
-        momentum = bn_momentum_schedule(cfg, state.epoch)
-
+    def _make_loss_fn(self, batch: dict, batch_stats, momentum, rng):
+        """Forward + weighted loss closure over params (shared by the train
+        step and the one-time reachability probe)."""
         obb_pose = _obb_pose(self.model, batch)
 
         def loss_fn(params):
-            variables = {"params": params, "batch_stats": state.batch_stats}
+            variables = {"params": params, "batch_stats": batch_stats}
             if self.network_type == "HandTrackNet":
                 ret, mutated = self.model.apply(
                     variables, batch["hand_points"], batch["jittered_hand_kp"],
@@ -247,21 +248,44 @@ class Trainer:
                                                 or _default_weights(loss_dict))
             return total, (loss_dict, mutated["batch_stats"])
 
+        return loss_fn
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _probe_reachability(self, params, batch_stats, batch, rng):
+        """Per-leaf any(grad != 0) on a probe batch — the one-time
+        reachability classification backing the static update mask."""
+        loss_fn = self._make_loss_fn(
+            batch, batch_stats, bn_momentum_schedule(self.cfg, 0), rng)
+        grads = jax.grad(loss_fn, has_aux=True)(params)[0]
+        return jax.tree.map(lambda g: jnp.any(g != 0), grads)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _train_step(self, state: TrainState, batch: dict, rng):
+        cfg = self.cfg
+        lr = lr_schedule(cfg, state.epoch)
+        momentum = bn_momentum_schedule(cfg, state.epoch)
+        loss_fn = self._make_loss_fn(batch, state.batch_stats, momentum, rng)
+
         (_, (loss_dict, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         opt_state = _set_lr(state.opt_state, lr)
         updates, opt_state = self.optimizer.update(grads, opt_state, state.params)
         # torch optimizers skip parameters whose .grad is None — tensors that
         # never entered the autograd graph (e.g. the attention stack under
-        # use_attention=False) get NO update and NO weight decay
-        # (reference trainer.py:278-302 + torch.optim.Adam's p.grad guard).
-        # JAX autodiff returns zero gradients instead, and optax's coupled
-        # weight decay would silently walk those frozen weights; mask whole
-        # leaves with identically-zero grad (reachability is static for a
-        # given model config, so this is exactly the torch rule).
-        updates = jax.tree.map(
-            lambda u, g: jnp.where(jnp.any(g != 0), u, jnp.zeros_like(u)),
-            updates, grads)
+        # use_attention=False, or SharedMLP branches whose output is
+        # discarded) get NO update and NO weight decay (reference
+        # trainer.py:278-302 + torch.optim.Adam's p.grad guard). JAX autodiff
+        # returns zero gradients instead, and optax's coupled weight decay
+        # would silently walk those frozen weights; mask whole unreachable
+        # leaves with the STATIC mask probed once at init_state — a dynamic
+        # any(g != 0) test would also freeze reachable leaves on steps where
+        # their gradient is transiently all-zero (dead ReLU path), which
+        # torch does not (a zero .grad tensor still gets decay + the
+        # momentum-driven Adam step).
+        mask = self._reach_mask
+        if mask is not None:
+            updates = jax.tree.map(
+                lambda u, m: u if m else jnp.zeros_like(u), updates, mask)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, new_bs, opt_state, state.epoch,
                                state.iteration + 1)
@@ -289,6 +313,15 @@ class Trainer:
     def update(self, batch: dict, rng) -> dict:
         if self.mesh is not None:
             batch = self._shard_batch(batch, strict=True)
+        if self._reach_mask is None:
+            # one-time reachability probe (lazy: eval-only Trainers — convert,
+            # tracking runners — never pay it). Reachability is architectural,
+            # not batch-dependent; a small slice keeps the probe compile cheap.
+            probe = jax.tree.map(
+                lambda a: a[:4] if getattr(a, "ndim", 0) else a, batch)
+            mask = self._probe_reachability(
+                self.state.params, self.state.batch_stats, probe, rng)
+            self._reach_mask = jax.tree.map(bool, jax.device_get(mask))
         self.state, loss_dict = self._train_step(self.state, batch, rng)
         return loss_dict
 

@@ -11,8 +11,9 @@ pipeline; the comparison is END QUALITY at equal data/epochs/hparams, not a
 bitwise trajectory (that is test_train_step_parity's job).
 
 Usage: python scripts/ab_framework_quality.py [--epochs 20] [--instances 8]
-           [--frames 50] [--num_points 512] [--batch 32]
-       python scripts/ab_framework_quality.py --track_eval   # after training:
+           [--frames 50] [--num_points 512] [--batch 32] [--seed N]
+       python scripts/ab_framework_quality.py --track_eval [--seed N]
+           # after training:
            sequence-tracking MPJPE of both trained nets, each through its own
            tracking driver (reference: HandTrackModel last-frame-kp loop,
            track_network.py:139-226; ours: track/hand.py lax.scan driver)
@@ -21,10 +22,16 @@ Usage: python scripts/ab_framework_quality.py [--epochs 20] [--instances 8]
            articulation FK-MPJPE: both frameworks' predicted joint quats
            through the SAME synthetic rig, identity root / zero trans —
            framework-neutral by construction)
+
+`--seed N` varies each framework's native randomness (weight init, shuffle
+order, jitter draws) while the dataset and splits stay fixed — run >= 3
+seeds per side to measure the seed spread the single-number A/B sits in.
+Per-seed results accumulate under "s{N}" keys in the JSON files; experiment
+dirs carry an `_s{N}` suffix so trained checkpoints coexist.
+
 Writes results to stdout; record them in BENCHMARKS.md.
 """
 import argparse
-import contextlib
 import json
 import os
 import sys
@@ -39,18 +46,55 @@ jax.config.update("jax_platforms", os.environ.get("AB_PLATFORM", "cpu"))
 import numpy as np
 
 
+def faithful_numpy_fps(xyz, npoint, device=None):
+    """GPU-semantics FPS for the reference dataset on CPU: random
+    presubsample only above 5*npoint (data_utils.py:235-240), then exact
+    FPS seeded at index 0 (the CUDA kernel's start, sampling_gpu.cu:115-117)
+    — replaces the CPU fallback's pure random subset (data_utils.py:246-249)
+    under --torch_fps."""
+    xyz = np.asarray(xyz, np.float32)
+    n = len(xyz)
+    if n > 5 * npoint:
+        pre = np.random.permutation(n)[:5 * npoint]
+        sub = xyz[pre]
+    else:
+        pre, sub = None, xyz
+    m = min(npoint, len(sub))
+    cent = np.zeros(m, np.int64)
+    dist = np.full(len(sub), 1e10, np.float32)
+    far = 0
+    for i in range(m):
+        cent[i] = far
+        d = np.sum((sub - sub[far]) ** 2, -1)
+        np.minimum(dist, d, out=dist)
+        far = int(np.argmax(dist))
+    return cent if pre is None else pre[cent]
+
+
+def _patch_torch_fps():
+    from reference_loader import reference_module
+    # SimGrasp_dataset binds the name by from-import; patch both sites
+    reference_module("SimGrasp_dataset").farthest_point_sample = \
+        faithful_numpy_fps
+    reference_module("data_utils").farthest_point_sample = faithful_numpy_fps
+
+
 def torch_track_eval(args, mano_dir):
     """Reference tracking: HandTrackModel (handnet-only, GT shape) over the
     test sequences — per-frame handnet with the last-frame-kp recentering
     trick (track_network.py:161-163, 216-218). Returns per-frame-mean
     tracking kp error in meters, averaged over sequences."""
-    from reference_loader import reference_module, write_fake_mano_pkl
+    from reference_loader import pushd, reference_module, write_fake_mano_pkl
     from hotrack_tpu.config import get_config
 
     ref_trainer_mod = reference_module("trainer")
     ref_dataset_mod = reference_module("dataset")
 
-    exp_dir = os.path.join(args.root, "exps", "ab_torch")
+    if args.torch_fps:
+        _patch_torch_fps()
+    exp_dir = os.path.join(
+        args.root, "exps",
+        f"ab_torch_s{args.seed}" + ("_fps" if args.torch_fps else ""))
     tcfg = dict(get_config({"config": "handtracknet_test_SimGrasp.yml",
                             "num_points": args.num_points}, save=False))
     tcfg.update(device="cpu", num_workers=0, use_optimization=False,
@@ -64,7 +108,7 @@ def torch_track_eval(args, mano_dir):
     write_fake_mano_pkl(os.path.join(scratch, "third_party", "mano", "models"))
 
     dl = ref_dataset_mod.get_dataloader(tcfg, "test", shuffle=False)
-    with contextlib.chdir(scratch):
+    with pushd(scratch):
         trainer = ref_trainer_mod.Trainer(tcfg, None, len(dl))
         trainer.resume(len(dl))
         kp, n_seq = 0.0, 0
@@ -86,7 +130,11 @@ def jax_track_eval(args):
 
     sys.argv = ["test", "--config", "handtracknet_test_SimGrasp.yml",
                 "--num_points", str(args.num_points),
-                "--experiment_dir", "ab_quality_jax"]
+                "--experiment_dir", "ab_quality_jax_s%d%s" % (
+                    args.seed, "_rs" if args.jax_sample == "random" else ""),
+                "--seed", str(args.seed)]
+    if args.jax_sample == "random":
+        sys.argv += ["--point_sample", "random"]
     avg, _fps = test_main()
     return float(avg["hand_pred_kp_diff"])
 
@@ -129,9 +177,28 @@ def main():
                          "already-trained checkpoints on both sides")
     ap.add_argument("--net", choices=["handtracknet", "iknet"],
                     default="handtracknet")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="per-framework randomness seed (init, shuffle, "
+                         "jitter); the dataset/splits stay fixed")
+    # --- sampling-protocol diagnostics (the named candidate for the round-3
+    # 2.7% single-frame gap): the torch leg's CPU fallback downsamples clouds
+    # by a FRESH random subset every draw (data_utils.py:246-249 — per-epoch
+    # augmentation), while our pipeline runs the reference's GPU-mode
+    # deterministic FPS. These flags put either leg on the other protocol.
+    ap.add_argument("--jax_sample", choices=["fps", "random"], default="fps",
+                    help="'random' = run our pipeline with the torch CPU "
+                         "leg's fresh-random-subset sampling")
+    ap.add_argument("--torch_fps", action="store_true",
+                    help="patch the reference dataset to faithful "
+                         "(GPU-semantics, start-index-0) numpy FPS instead "
+                         "of its CPU random fallback")
     args = ap.parse_args()
     assert not (args.track_eval and args.net == "iknet"), \
         "tracking A/B is the handtracknet protocol"
+    # result-file key: seed + any protocol-variant tags of this invocation
+    args.tag = (f"s{args.seed}"
+                + ("_jrand" if args.jax_sample == "random" else "")
+                + ("_tfps" if args.torch_fps else ""))
 
     import torch
     from reference_loader import (reference_module, write_fake_mano_pkl)
@@ -151,6 +218,9 @@ def main():
     if args.track_eval:
         results = {}
         if not args.skip_torch:
+            import torch as _t
+            _t.manual_seed(args.seed)
+            np.random.seed(args.seed)
             results["torch_track_m"] = torch_track_eval(args, mano_dir)
             print(f"[torch] TRACKING kp_diff {results['torch_track_m']:.6f} m",
                   flush=True)
@@ -159,11 +229,12 @@ def main():
             print(f"[jax] TRACKING kp_diff {results['jax_track_m']:.6f} m",
                   flush=True)
         if len(results) == 2:
-            print(f"\ntracking A/B: torch {results['torch_track_m']*100:.3f} cm"
+            print(f"\ntracking A/B [s{args.seed}]: "
+                  f"torch {results['torch_track_m']*100:.3f} cm"
                   f"   jax {results['jax_track_m']*100:.3f} cm   (ratio "
                   f"{results['jax_track_m']/results['torch_track_m']:.3f})")
-        with open(os.path.join(args.root, "track_results.json"), "w") as f:
-            json.dump(results, f)
+        _accumulate(os.path.join(args.root, "track_results.json"),
+                    args.tag, results)
         return
 
     # shared hyperparameters from the shipped config
@@ -172,8 +243,10 @@ def main():
     # itself (last instance = test); both loaders prefer existing splits
     cfg_name = ("iknet_train_SimGrasp.yml" if args.net == "iknet"
                 else "handtracknet_train_SimGrasp.yml")
-    jax_exp = "ab_quality_jax" + ("_ik" if args.net == "iknet" else "")
-    torch_exp = "ab_torch" + ("_ik" if args.net == "iknet" else "")
+    suffix = ("_ik" if args.net == "iknet" else "") + f"_s{args.seed}"
+    jax_exp = ("ab_quality_jax" + suffix
+               + ("_rs" if args.jax_sample == "random" else ""))
+    torch_exp = "ab_torch" + suffix + ("_fps" if args.torch_fps else "")
     cfg = get_config({"config": cfg_name,
                       "num_points": args.num_points,
                       "batch_size": args.batch,
@@ -196,9 +269,15 @@ def main():
         tcfg["experiment_dir"] = os.path.join(args.root, "exps", torch_exp)
         os.makedirs(tcfg["experiment_dir"], exist_ok=True)
 
+        # seed BEFORE dataloader/trainer construction: weight init, shuffle
+        # order (torch global RNG at iteration) and the dataset's np.random
+        # jitter draws all follow
+        torch.manual_seed(args.seed)
+        np.random.seed(args.seed)
+        if args.torch_fps:
+            _patch_torch_fps()
         train_dl = ref_dataset_mod.get_dataloader(tcfg, "train")
         test_dl = ref_dataset_mod.get_dataloader(tcfg, "test", shuffle=False)
-        torch.manual_seed(0)
         trainer = ref_trainer_mod.Trainer(tcfg, None, len(train_dl))
         for epoch in range(args.epochs):
             trainer.step_epoch()
@@ -245,12 +324,15 @@ def main():
                     "--num_points", str(args.num_points),
                     "--batch_size", str(args.batch),
                     "--epochs", str(args.epochs),
-                    "--experiment_dir", jax_exp]
+                    "--experiment_dir", jax_exp,
+                    "--seed", str(args.seed)]
+        if args.jax_sample == "random":
+            sys.argv += ["--point_sample", "random"]
         trainer = jcli.train_main()
 
         jcfg = dict(trainer.cfg)
         test_dl = get_dataloader(jcfg, "test", shuffle=False)
-        key = jax.random.PRNGKey(1)
+        key = jax.random.PRNGKey(args.seed * 1000 + 1)
         lw = jcfg["network"]["loss_weight"]
         metric_key = ("quat_loss" if args.net == "iknet"
                       else "hand_pred_kp_diff")
@@ -295,13 +377,22 @@ def main():
                             f"singleframe_results_{args.net}.json"
                             if args.net == "iknet" else
                             "singleframe_results.json")
-        old = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                old = json.load(f)
-        old.update(results)
-        with open(path, "w") as f:
-            json.dump(old, f)
+        _accumulate(path, args.tag, results)
+
+
+def _accumulate(path: str, seed_key: str, results: dict):
+    """Merge this run's results into the JSON file under the seed key
+    (legacy top-level keys from pre-seed runs are left in place)."""
+    old = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            old = json.load(f)
+    merged = dict(old.get(seed_key, {}))
+    merged.update(results)
+    old[seed_key] = merged
+    with open(path, "w") as f:
+        json.dump(old, f, indent=1)
+    print(f"[results] {seed_key} -> {path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,10 +24,53 @@ import jax
 import jax.numpy as jnp
 
 
+import hotrack_tpu.ops.pallas.obj_energy as oe
+
+
+def nomlp_core(x, scale, clamp, freqs, wb, n_layers, compute_dtype,
+               fourier_da=False):
+    return jnp.clip(x[2], -clamp, clamp)
+
+
+def make_noxform_kernel():
+    def kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
+               *refs, n_layers, n_valid, tb, compute_dtype=None,
+               fourier_da=False):
+        out_ref, x_ref = refs[-2], refs[-1]
+        wb = refs[:-2]
+        np_ = pcld_ref.shape[1]
+        sub = min(oe.SUB, tb)
+        if n_valid != np_:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
+            valid = (lane < n_valid).astype(jnp.float32)
+        else:
+            valid = None
+        for g in range(tb // sub):
+            for c in range(3):
+                for i in range(sub):
+                    # per-(g,i) scale so Mosaic can't hoist/dedupe the
+                    # stores across group iterations — the per-group VMEM
+                    # store traffic must match the real kernel's
+                    x_ref[c:c + 1, i * np_:(i + 1) * np_] = \
+                        pcld_ref[c:c + 1, :] * (1.0 + 1e-6 * (g * sub + i))
+            obj = x_ref[:]
+            sdf = oe._sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0],
+                                   freqs_ref[:], [r[:] for r in wb],
+                                   n_layers, compute_dtype,
+                                   fourier_da=fourier_da)
+            absd = jnp.abs(sdf)[None]
+            for i in range(sub):
+                seg = absd[:, i * np_:(i + 1) * np_]
+                if valid is not None:
+                    seg = seg * valid
+                p = g * sub + i
+                out_ref[p:p + 1, :] = jnp.sum(seg, axis=1, keepdims=True)
+    return kernel
+
+
 def main():
     from hotrack_tpu.train.cli import setup_compilation_cache
     setup_compilation_cache()
-    import hotrack_tpu.ops.pallas.obj_energy as oe
     from hotrack_tpu.opt import obj_pose as op
     from hotrack_tpu.opt.particle import presample_particles
     from hotrack_tpu.sdf.assets import synthetic_box_sdf_setup
@@ -43,45 +86,6 @@ def main():
 
     orig_mlp = oe._sdf_mlp_core
     orig_kernel = oe._obj_energy_kernel
-
-    def nomlp_core(x, scale, clamp, freqs, wb, n_layers, compute_dtype,
-                   fourier_da=False):
-        return jnp.clip(x[2], -clamp, clamp)
-
-    def make_noxform_kernel():
-        def kernel(scale_ref, clamp_ref, rts_ref, pcld_ref, freqs_ref,
-                   *refs, n_layers, n_valid, tb, compute_dtype=None,
-                   fourier_da=False):
-            out_ref, x_ref = refs[-2], refs[-1]
-            wb = refs[:-2]
-            np_ = pcld_ref.shape[1]
-            sub = min(oe.SUB, tb)
-            if n_valid != np_:
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_), 1)
-                valid = (lane < n_valid).astype(jnp.float32)
-            else:
-                valid = None
-            for g in range(tb // sub):
-                for c in range(3):
-                    for i in range(sub):
-                        # per-(g,i) scale so Mosaic can't hoist/dedupe the
-                        # stores across group iterations — the per-group VMEM
-                        # store traffic must match the real kernel's
-                        x_ref[c:c + 1, i * np_:(i + 1) * np_] = \
-                            pcld_ref[c:c + 1, :] * (1.0 + 1e-6 * (g * sub + i))
-                obj = x_ref[:]
-                sdf = oe._sdf_mlp_core(obj, scale_ref[0, 0], clamp_ref[0, 0],
-                                       freqs_ref[:], [r[:] for r in wb],
-                                       n_layers, compute_dtype,
-                                       fourier_da=fourier_da)
-                absd = jnp.abs(sdf)[None]
-                for i in range(sub):
-                    seg = absd[:, i * np_:(i + 1) * np_]
-                    if valid is not None:
-                        seg = seg * valid
-                    p = g * sub + i
-                    out_ref[p:p + 1, :] = jnp.sum(seg, axis=1, keepdims=True)
-        return kernel
 
     def timed(mlp_core, kernel, reps=16, rounds=4):
         oe._sdf_mlp_core = mlp_core

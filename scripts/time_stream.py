@@ -146,6 +146,68 @@ def main():
           f"{best * 1000:.1f} ms/frame = {1.0 / best:.1f} frames/s",
           flush=True)
 
+    # combined hand + object live loop (serve_combined): the real HOTrack
+    # consumer wants BOTH poses out of every frame — the object stage at its
+    # reference operating point (2048 particles x 1024 pts x 10 iters, its
+    # own 201^3-baked distilled SDF) interleaved with the full hand path
+    from hotrack_tpu.track import ObjTracker, serve_combined
+
+    obj_volume = synthetic_box_sdf_setup(201, 0.002)
+    obj_distilled = distill_sdf_volume(obj_volume, 0.002, jax.random.PRNGKey(7))
+    obj_particles = presample_particles(jax.random.PRNGKey(8), 2048, 6)
+    host_obj = [np.asarray(rng.randn(1024, 3), np.float32) * 0.04
+                for _ in range(n)]
+    obj_tracker = ObjTracker(obj_volume, obj_particles, voxel_scale=0.002,
+                             bbox_res=201, distilled=obj_distilled)
+    obj_state0 = obj_tracker.init_state(jnp.eye(3), jnp.zeros((3, 1)))
+
+    def combined_kwargs(f):
+        return dict(frame_kwargs(f), obj_points=jnp.asarray(host_obj[f]))
+
+    # warm-up (compiles the obj step)
+    next(iter(serve_combined(tracker, obj_tracker, state, obj_state0,
+                             [combined_kwargs(0)])))
+
+    # blocking reference: explicit two-step loop with per-frame fetches
+    best = float("inf")
+    for _ in range(4):
+        hs, os_ = state, obj_state0
+        t0 = time.perf_counter()
+        for f in range(n):
+            hs, hout = one_host(hs, f)
+            os_, oout = obj_tracker.step(os_, jnp.asarray(host_obj[f]))
+            kp = np.asarray(hout["pred_kp"])
+            rot = np.asarray(oout["rotation"])
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"combined hand+obj loop (blocking per-frame fetch): "
+          f"{best * 1000:.1f} ms/frame = {1.0 / best:.1f} frames/s",
+          flush=True)
+
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        for out in serve_combined(tracker, obj_tracker, state, obj_state0,
+                                  (combined_kwargs(f) for f in range(n))):
+            kp, rot = out["pred_kp"], out["obj_rotation"]
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"combined hand+obj loop (double-buffered, serve_combined): "
+          f"{best * 1000:.1f} ms/frame = {1.0 / best:.1f} frames/s",
+          flush=True)
+
+    # device-resident bound for the combined loop (fetch only at the end)
+    best = float("inf")
+    for _ in range(4):
+        hs, os_ = state, obj_state0
+        t0 = time.perf_counter()
+        for f in range(n):
+            hs, hout = one_host(hs, f)
+            os_, oout = obj_tracker.step(os_, jnp.asarray(host_obj[f]))
+        np.asarray(hs["carry"][0]); np.asarray(os_[0])
+        best = min(best, (time.perf_counter() - t0) / n)
+    print(f"combined hand+obj loop (device-resident bound): "
+          f"{best * 1000:.1f} ms/frame = {1.0 / best:.1f} frames/s",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,6 +41,18 @@ import numpy as np
 REF_ROOT = "/root/reference"
 
 
+@contextlib.contextmanager
+def pushd(path):
+    """os.chdir with restore — contextlib.chdir needs Python >= 3.11 while
+    pyproject declares >= 3.10 (ADVICE r3)."""
+    prev = os.getcwd()
+    os.chdir(path)
+    try:
+        yield
+    finally:
+        os.chdir(prev)
+
+
 def _install_chumpy_stub():
     if "chumpy" in sys.modules:
         return

@@ -25,7 +25,8 @@ import yaml
 import jax
 import jax.numpy as jnp
 
-from reference_loader import reference_module, seed0_fps, write_fake_mano_pkl
+from reference_loader import (pushd, reference_module, seed0_fps,
+                              write_fake_mano_pkl)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -391,8 +392,6 @@ def test_hand_shape_opt_trajectory_parity(mano_root):
     vs optimize_hand_shape: same particle bank, same rig, bone-length energy.
     Particle bank trimmed to 512 to keep the CPU torch MANO forwards cheap —
     the update rule is particle-count-agnostic."""
-    import contextlib
-
     oh = reference_module("optimization_hand")
     from hotrack_tpu.mano.layer import mano_forward
     from hotrack_tpu.mano.model import synthetic_mano_model
@@ -400,7 +399,7 @@ def test_hand_shape_opt_trajectory_parity(mano_root):
 
     cfg = {"device": "cpu", "mano_root": mano_root}
     np.random.seed(9)
-    with contextlib.chdir("/root/reference"):  # contact-zone-free class, but
+    with pushd("/root/reference"):  # contact-zone-free class, but
         ref = oh.gf_optimize_hand_shape(cfg)   # keep CWD convention uniform
     ref.particle_size = 512
     ref.pre_sampled_particle = ref.pre_sampled_particle[:512]
@@ -454,8 +453,6 @@ def test_hand_pose_opt_trajectory_parity(mano_root, tmp_path):
     SDF penetration, vis/invis regularization, contact-zone attraction with
     the real Obman zones, temporal smoothness) with the reference's particle
     bank and an injected analytic SDF volume."""
-    import contextlib
-
     import cv2
 
     oh = reference_module("optimization_hand")
@@ -485,7 +482,7 @@ def test_hand_pose_opt_trajectory_parity(mano_root, tmp_path):
                                         latent_dropout=False,
                                         weight_norm=True)}}
     np.random.seed(12)
-    with contextlib.chdir("/root/reference"):  # contact_zones.pkl rel path
+    with pushd("/root/reference"):  # contact_zones.pkl rel path
         ref = oh.gf_optimize_hand_pose(cfg)
     del ref.volume_ind
     ref.particle_size = 512

@@ -265,3 +265,48 @@ def test_obj_serve_matches_step(env):
     for g, e in zip(got, expect):
         np.testing.assert_array_equal(g["rotation"], e["rotation"])
         np.testing.assert_array_equal(g["translation"], e["translation"])
+
+
+def test_serve_combined_matches_steps(env):
+    """serve_combined (one double-buffered loop driving BOTH trackers) ==
+    stepping the hand and object trackers explicitly in the same order,
+    bitwise — the full product shape: both poses out of every frame."""
+    from hotrack_tpu.track import serve_combined
+
+    mano, batch, trainer = env
+    vol = synthetic_box_sdf_setup(65, 0.006)
+    particles = presample_particles(jax.random.PRNGKey(5), 64, 6)
+    t_frames = min(4, batch["hand_points"].shape[0],
+                   batch["obj_points"].shape[0])
+    pts = batch["obj_points"][:t_frames]
+    r0 = batch["jittered_obj_pose"]["rotation"][0]
+    t0 = batch["jittered_obj_pose"]["translation"][0]
+
+    hand = HandTracker(trainer.model, trainer.variables, mano)
+    obj = ObjTracker(vol, particles, voxel_scale=0.006, bbox_res=65)
+
+    h_state = hand.init_state(batch["hand_points"][0],
+                              batch["jittered_hand_kp"][0])
+    o_state = obj.init_state(r0, t0)
+    expect = []
+    for f in range(t_frames):
+        h_state, h_out = hand.step(h_state, batch["hand_points"][f])
+        o_state, o_out = obj.step(o_state, pts[f])
+        expect.append({"pred_kp": np.asarray(h_out["pred_kp"]),
+                       "obj_rotation": np.asarray(o_out["rotation"]),
+                       "obj_translation": np.asarray(o_out["translation"])})
+
+    h_state = hand.init_state(batch["hand_points"][0],
+                              batch["jittered_hand_kp"][0])
+    o_state = obj.init_state(r0, t0)
+    frames = ({"hand_points": batch["hand_points"][f], "obj_points": pts[f]}
+              for f in range(t_frames))
+    got = list(serve_combined(hand, obj, h_state, o_state, frames))
+    assert len(got) == t_frames
+    assert all(set(g) == {"pred_kp", "obj_rotation", "obj_translation"}
+               for g in got)
+    for g, e in zip(got, expect):
+        np.testing.assert_array_equal(g["pred_kp"], e["pred_kp"])
+        np.testing.assert_array_equal(g["obj_rotation"], e["obj_rotation"])
+        np.testing.assert_array_equal(g["obj_translation"],
+                                      e["obj_translation"])
