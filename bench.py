@@ -357,7 +357,7 @@ def bench_train(mano):
     cfg["dataset_len"] = len(loader)
     trainer = Trainer(cfg)
     trainer.mano = mano
-    raw, _ = loader[0]
+    raw, _ = next(iter(loader))
     key = jax.random.PRNGKey(0)
     batch = prepare(trainer, raw, key, cfg)
     trainer.init_state(jax.tree.map(lambda a: a[:1], batch))
@@ -376,12 +376,17 @@ def bench_train(mano):
     dt, dt_med = _rounds(chained, reps, n_rounds=5)
     bsz = batch["hand_points"].shape[0]
 
-    # FLOP model: XLA's own HLO cost analysis of the lowered step (client-
-    # side; guarded — it has been unreliable through the axon relay)
+    # FLOP model: XLA's own HLO cost analysis of the step, lowered for the
+    # CPU target — fully client-side (cost_analysis on an axon-lowered
+    # program queries the backend through the relay and hangs; HLO flop
+    # counting is backend-independent arithmetic). self is static in the
+    # jit, so it must be passed explicitly to trace().
     flops = None
     try:
-        lowered = trainer._train_step.lower(trainer.state, batch, keys[0])
-        cost = lowered.cost_analysis()
+        lowered = trainer._train_step.trace(
+            trainer, trainer.state, batch, keys[0]).lower(
+            lowering_platforms=("cpu",))
+        cost = lowered.compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         f = float(cost.get("flops", 0.0))
         if 1e9 < f < 1e15:
