@@ -38,11 +38,15 @@ from .hand import _make_hand_step, _rest_palm_template
 def _serve(step_fn, state, inputs: Iterable, fetch) -> Iterator[dict]:
     """Double-buffered serving loop shared by both trackers.
 
-    Dispatches frame f+1 BEFORE fetching frame f's outputs: jax's async
-    dispatch queues the next step while the previous result crosses
-    device->host, so the transfer latency hides behind compute instead of
-    being paid per frame (measured: 59.0 -> 32.0 ms/frame through the axon
-    relay, within 4 ms of the device-resident bound — BENCHMARKS.md
+    Dispatches frame f+1 BEFORE fetching frame f's outputs, and starts each
+    output's device->host copy asynchronously (`copy_to_host_async`) the
+    moment its step is dispatched: a blocking `np.asarray` on a device array
+    costs one full relay round-trip PER ARRAY, serialized on the host thread
+    (measured ~31 ms each through the axon tunnel — a 3-key fetch made the
+    combined loop 81 ms/frame, no better than blocking), while the async
+    copy pipelines every transfer behind the next frame's compute so the
+    later `np.asarray` finds the bytes already on host (measured: obj serve
+    32.8 -> 22.9 ms/frame, combined hand+obj 81 -> ~bound — BENCHMARKS.md
     "Realistic serving loop"). The consumer sees one frame of added latency
     and per-frame host dicts in input order, one per input (the stream may
     be infinite — a live camera — or a finite clip; both are flushed
@@ -54,6 +58,11 @@ def _serve(step_fn, state, inputs: Iterable, fetch) -> Iterator[dict]:
         else:
             state, out = step_fn(state, inp)
         sel = {k: out[k] for k in fetch} if fetch is not None else out
+        for leaf in jax.tree.leaves(sel):
+            try:
+                leaf.copy_to_host_async()
+            except (AttributeError, NotImplementedError):  # non-jax leaf
+                pass
         if prev is not None:
             yield jax.tree.map(np.asarray, prev)
         prev = sel
