@@ -63,7 +63,8 @@ def run_hand_tracking(cfg, save_flag: bool = False):
     batch0 = prepare_batch(mano, jax.tree.map(jnp.asarray, raw0), k0,
                            cfg["num_points"],
                            hand_jitter_scale=hj["rand_scale"],
-                           jitter_kind=hj["rand_type"])
+                           jitter_kind=hj["rand_type"],
+                           sample_kind=cfg.get("point_sample", "fps"))
     example = jax.tree.map(lambda a: a[:1], batch0)
     handnet_tr = _load_model(cfg, "HandTrackNet", cfg["experiment_dir"], example)
     iknet_tr = None
@@ -113,7 +114,8 @@ def run_hand_tracking(cfg, save_flag: bool = False):
         batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw), k1,
                               cfg["num_points"],
                               hand_jitter_scale=hj["rand_scale"],
-                              jitter_kind=hj["rand_type"])
+                              jitter_kind=hj["rand_type"],
+                              sample_kind=cfg.get("point_sample", "fps"))
         background_masks = None
         distilled = None
         if use_opt:
@@ -218,7 +220,8 @@ def _run_batched(cfg, save_flag, loader, mano, key, hj, handnet_tr, iknet_tr,
             batches = [prepare_batch(mano, jax.tree.map(jnp.asarray, r), k1,
                                      cfg["num_points"],
                                      hand_jitter_scale=hj["rand_scale"],
-                                     jitter_kind=hj["rand_type"])
+                                     jitter_kind=hj["rand_type"],
+                                     sample_kind=cfg.get("point_sample", "fps"))
                        for r in raws]
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
             if not use_opt:

@@ -90,7 +90,8 @@ def run_obj_tracking(cfg, save_flag: bool = False):
         raw, metas = loader[seq_idx]
         batch = prepare_batch(mano, jax.tree.map(jnp.asarray, raw), key,
                               cfg["num_points"], obj_jitter=obj_jitter,
-                              obj_jitter_kind=oj["type"])
+                              obj_jitter_kind=oj["type"],
+                              sample_kind=cfg.get("point_sample", "fps"))
         seq_assets = _sequence_assets(cfg, metas[0])
         volume = seq_assets["volume"]
         update_shape_flag = bool(cfg.get("opt", {}).get("updateobjshape")) \

@@ -94,7 +94,8 @@ def torch_track_eval(args, mano_dir):
         _patch_torch_fps()
     exp_dir = os.path.join(
         args.root, "exps",
-        f"ab_torch_s{args.seed}" + ("_fps" if args.torch_fps else ""))
+        f"ab_torch_s{args.seed}{args.etag}"
+        + ("_fps" if args.torch_fps else ""))
     tcfg = dict(get_config({"config": "handtracknet_test_SimGrasp.yml",
                             "num_points": args.num_points}, save=False))
     tcfg.update(device="cpu", num_workers=0, use_optimization=False,
@@ -114,11 +115,14 @@ def torch_track_eval(args, mano_dir):
         kp, n_seq = 0.0, 0
         for data in dl:
             ld, _ = trainer.test(data)
-            # compute_loss add_dict-SUMS over frames (track_network.py:239)
-            kp += float(ld["hand_pred_kp_diff"]) / len(data)
+            # compute_loss add_dict-sums over frames and then divides by
+            # valid_length (track_network.py:301-307) — ld values are already
+            # per-frame means. (Round-4 fix: an extra /len(data) here divided
+            # by the frame count twice and under-reported the torch leg 50x.)
+            kp += float(ld["hand_pred_kp_diff"])
             n_seq += 1
             print(f"[torch-track] seq {n_seq - 1}: kp_diff "
-                  f"{float(ld['hand_pred_kp_diff']) / len(data):.6f} m",
+                  f"{float(ld['hand_pred_kp_diff']):.6f} m",
                   flush=True)
     return kp / max(n_seq, 1)
 
@@ -130,8 +134,9 @@ def jax_track_eval(args):
 
     sys.argv = ["test", "--config", "handtracknet_test_SimGrasp.yml",
                 "--num_points", str(args.num_points),
-                "--experiment_dir", "ab_quality_jax_s%d%s" % (
-                    args.seed, "_rs" if args.jax_sample == "random" else ""),
+                "--experiment_dir", "ab_quality_jax_s%d%s%s" % (
+                    args.seed, args.etag,
+                    "_rs" if args.jax_sample == "random" else ""),
                 "--seed", str(args.seed)]
     if args.jax_sample == "random":
         sys.argv += ["--point_sample", "random"]
@@ -195,8 +200,11 @@ def main():
     args = ap.parse_args()
     assert not (args.track_eval and args.net == "iknet"), \
         "tracking A/B is the handtracknet protocol"
-    # result-file key: seed + any protocol-variant tags of this invocation
-    args.tag = (f"s{args.seed}"
+    # result-file key: seed + any protocol-variant tags of this invocation;
+    # non-default budgets get their own experiment dirs + result keys so a
+    # 150-epoch tracking A/B coexists with the 20-epoch multi-seed campaign
+    args.etag = f"_e{args.epochs}" if args.epochs != 20 else ""
+    args.tag = (f"s{args.seed}" + args.etag
                 + ("_jrand" if args.jax_sample == "random" else "")
                 + ("_tfps" if args.torch_fps else ""))
 
@@ -243,7 +251,7 @@ def main():
     # itself (last instance = test); both loaders prefer existing splits
     cfg_name = ("iknet_train_SimGrasp.yml" if args.net == "iknet"
                 else "handtracknet_train_SimGrasp.yml")
-    suffix = ("_ik" if args.net == "iknet" else "") + f"_s{args.seed}"
+    suffix = ("_ik" if args.net == "iknet" else "") + f"_s{args.seed}" + args.etag
     jax_exp = ("ab_quality_jax" + suffix
                + ("_rs" if args.jax_sample == "random" else ""))
     torch_exp = "ab_torch" + suffix + ("_fps" if args.torch_fps else "")
