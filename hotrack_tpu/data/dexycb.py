@@ -21,7 +21,8 @@ import numpy as np
 import yaml
 
 from ..mano.model import ManoModel
-from .schema import PRESUBSAMPLE_FACTOR, RawFrame, empty_frame, pad_points
+from .schema import (PRESUBSAMPLE_FACTOR, RawFrame, empty_frame,
+                     frame_rng, pad_points)
 
 WIDTH, HEIGHT = 640, 480
 
@@ -91,6 +92,9 @@ class DexYCBDataset:
         self.load_pred_obj_pose = cfg.get("use_pred_obj_pose", False)
         self.pred_obj_pose_dir = cfg.get("pred_obj_pose_dir")
         self.seed = cfg.get("seed", 0)  # per-frame RNGs: thread-safe + order-deterministic
+        # presample: fresh -> redraw the 5*num_points presubsample every
+        # draw (the reference GPU pipeline's per-epoch augmentation)
+        self.fresh_presample = cfg.get("presample") == "fresh"
         from ..mano.model import get_mano_model
         self.mano = get_mano_model(cfg.get("mano_root"))
 
@@ -187,7 +191,7 @@ class DexYCBDataset:
         if len(hand_pcd) == 0 or len(obj_pcd) == 0:
             return empty_frame(self.budget), meta
 
-        rng = np.random.RandomState((self.seed * 1000003 + index) % (2**31))
+        rng = frame_rng(self.seed, index, self.fresh_presample)
         hand_pts, hand_valid = pad_points(hand_pcd.astype(np.float32),
                                           self.budget, rng)
         obj_pts, obj_valid = pad_points(obj_pcd.astype(np.float32),

@@ -17,7 +17,8 @@ from os.path import join as pjoin
 
 import numpy as np
 
-from .schema import PRESUBSAMPLE_FACTOR, RawFrame, empty_frame, pad_points
+from .schema import (PRESUBSAMPLE_FACTOR, RawFrame, empty_frame,
+                     frame_rng, pad_points)
 
 HEIGHT, WIDTH = 480, 640
 DEPTH_SCALE = 0.00012498664727900177  # (HO3D_dataset.py:41)
@@ -86,6 +87,9 @@ class HO3DDataset:
         self.load_pred_obj_pose = cfg.get("use_pred_obj_pose", False)
         self.pred_obj_pose_dir = cfg.get("pred_obj_pose_dir")
         self.seed = cfg.get("seed", 0)  # per-frame RNGs: thread-safe + order-deterministic
+        # presample: fresh -> redraw the 5*num_points presubsample every
+        # draw (the reference GPU pipeline's per-epoch augmentation)
+        self.fresh_presample = cfg.get("presample") == "fresh"
 
         self.seq_lst, self.fid_lst, self.start_frame_lst = [], [], []
         self.seq_start = []
@@ -171,7 +175,7 @@ class HO3DDataset:
         if len(hand) == 0 or len(obj) == 0:
             return empty_frame(self.budget), meta
 
-        rng = np.random.RandomState((self.seed * 1000003 + index) % (2**31))
+        rng = frame_rng(self.seed, index, self.fresh_presample)
         hand_pts, hand_valid = pad_points(hand.astype(np.float32),
                                           self.budget, rng)
         obj_pts, obj_valid = pad_points(obj.astype(np.float32),

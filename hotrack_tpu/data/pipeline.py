@@ -80,7 +80,11 @@ def prepare_batch(
     obj_jitter_kind: str = "normal",
     template_with_theta: bool = False,
     include_obb: bool = False,       # handframe='OBB': per-frame OBB canon pose
-    sample_kind: str = "fps",        # 'fps' (reference GPU semantics) |
+    sample_kind: str = "fps",        # 'fps' (reference GPU semantics; the
+                                     # >5*num_points random presubsample
+                                     # happens host-side in the readers'
+                                     # pad_points — see `presample: fresh`
+                                     # for its per-epoch redraw) |
                                      # 'random' (its CPU fallback: a fresh
                                      # uniform subset every draw,
                                      # data_utils.py:246-249)

@@ -52,6 +52,22 @@ class RawFrame(NamedTuple):
     has_annot_kp: np.ndarray     # () bool
 
 
+def frame_rng(seed: int, index: int, fresh: bool = False):
+    """Host RNG for a reader's per-frame presubsample (pad_points).
+
+    Default: deterministic per (seed, frame index) — thread-safe and
+    iteration-order independent, so eval runs reproduce exactly. `fresh`
+    (config `presample: fresh`) redraws from OS entropy on every call,
+    which is the reference GPU pipeline's behavior: its >5*num_points
+    presubsample uses the global np.random stream, so every epoch trains
+    on a DIFFERENT subset of each large cloud (data_utils.py:234-241) —
+    per-epoch augmentation. Use for training parity on real datasets whose
+    clouds exceed the 5*num_points budget; keep the default for eval."""
+    if fresh:
+        return np.random.RandomState()  # OS-entropy seeded, thread-safe
+    return np.random.RandomState((seed * 1000003 + index) % (2**31))
+
+
 def pad_points(points: np.ndarray, budget: int, rng: np.random.RandomState):
     """Random-permute, take at most `budget`, zero-pad; returns (pts, valid).
     Mirrors the loader-side shuffle + presubsample

@@ -19,7 +19,8 @@ from os.path import join as pjoin
 
 import numpy as np
 
-from .schema import PRESUBSAMPLE_FACTOR, RawFrame, empty_frame, pad_points
+from .schema import (PRESUBSAMPLE_FACTOR, RawFrame, empty_frame,
+                     frame_rng, pad_points)
 
 # SimGrasp fixed camera intrinsics (SimGrasp_dataset.py:127)
 SIMGRASP_PROJECTION = np.array(
@@ -54,6 +55,9 @@ class SimGraspDataset:
         self.load_pred_obj_pose = cfg.get("use_pred_obj_pose", False)
         self.pred_obj_pose_dir = cfg.get("pred_obj_pose_dir")
         self.seed = cfg.get("seed", 0)  # per-frame RNGs: thread-safe + order-deterministic
+        # presample: fresh -> redraw the 5*num_points presubsample every
+        # draw (the reference GPU pipeline's per-epoch augmentation)
+        self.fresh_presample = cfg.get("presample") == "fresh"
 
         self.file_list = []
         self.num_parts = {}
@@ -111,7 +115,7 @@ class SimGraspDataset:
         if len(hand) == 0 or len(obj) == 0:
             return empty_frame(self.budget), meta
 
-        rng = np.random.RandomState((self.seed * 1000003 + index) % (2**31))
+        rng = frame_rng(self.seed, index, self.fresh_presample)
         hand_pts, hand_valid = pad_points(hand, self.budget, rng)
         obj_pts, obj_valid = pad_points(obj, self.budget, rng)
 

@@ -79,6 +79,35 @@ def test_prepare_batch_device(env):
     assert d.mean() < 0.05
 
 
+def test_presample_modes(env):
+    """Default: the reader's 5*num_points presubsample is deterministic per
+    (seed, index). `presample: fresh` redraws it every __getitem__ — the
+    reference GPU pipeline's per-epoch augmentation (its >5*num_points
+    presubsample draws from the global np.random stream each epoch,
+    data_utils.py:234-241)."""
+    cfg, mano, _ = env
+    from hotrack_tpu.data.simgrasp import SimGraspDataset
+
+    ds = SimGraspDataset(cfg, "train")
+    a, _ = ds[0]
+    b, _ = ds[0]
+    np.testing.assert_array_equal(a.hand_points, b.hand_points)
+
+    fcfg = dict(cfg)
+    fcfg["presample"] = "fresh"
+    dsf = SimGraspDataset(fcfg, "train")
+    f1, _ = dsf[0]
+    f2, _ = dsf[0]
+    # same point SET possible only as permutations; with 300 raw points and
+    # a 320 budget the subset is the whole cloud, so compare ORDER (the FPS
+    # start point + padding layout both follow it)
+    assert not np.array_equal(f1.hand_points, f2.hand_points)
+    # but it is the same underlying cloud: sorted rows agree
+    np.testing.assert_allclose(
+        np.sort(f1.hand_points[f1.hand_valid], axis=0),
+        np.sort(f2.hand_points[f2.hand_valid], axis=0), atol=0)
+
+
 def test_dataloaders(env):
     cfg, mano, _ = env
     loader = get_dataloader(cfg, "train")
