@@ -53,15 +53,21 @@ def _rotvec_to_mat(rv):
 
 def generate_sequence(mano_model: ManoModel, rng: np.random.RandomState,
                       num_frames: int = 100, points_per_part: int = 900,
-                      box_half=(0.035, 0.05, 0.025)):
-    """Yields per-frame dicts with the SimGrasp `all_dict` schema."""
+                      box_half=(0.035, 0.05, 0.025), motion_scale: float = 1.0):
+    """Yields per-frame dicts with the SimGrasp `all_dict` schema.
+
+    `motion_scale` multiplies the per-frame motion amplitudes (object
+    rotation/translation rates and hand pose drift) while keeping the pose
+    DISTRIBUTION (initial rotations, betas, grasp geometry) fixed — lower
+    values produce slower sequences whose per-frame displacement sits inside
+    a tracker's contraction region at weaker training budgets."""
     beta = rng.randn(10).astype(np.float32) * 0.5
     base_trans = np.array([0.0, 0.0, 0.5]) + rng.randn(3) * 0.05
 
-    obj_rv = _smooth_noise(rng, num_frames, 3, 0.015)
+    obj_rv = _smooth_noise(rng, num_frames, 3, 0.015 * motion_scale)
     obj_rv += rng.randn(3) * 0.5
-    obj_tr = _smooth_noise(rng, num_frames, 3, 0.002) + base_trans
-    hand_pose_traj = _smooth_noise(rng, num_frames, 48, 0.004)
+    obj_tr = _smooth_noise(rng, num_frames, 3, 0.002 * motion_scale) + base_trans
+    hand_pose_traj = _smooth_noise(rng, num_frames, 48, 0.004 * motion_scale)
     hand_pose_traj[:, :3] += rng.randn(3) * 0.4
     hand_pose_traj[:, 3:] += rng.randn(45) * 0.15
 
@@ -106,7 +112,8 @@ def generate_simgrasp_dataset(root: str, category: str = "bottle_sim",
                               num_instances: int = 4, num_frames: int = 100,
                               seed: int = 0,
                               mano_model: ManoModel | None = None,
-                              points_per_part: int = 900):
+                              points_per_part: int = 900,
+                              motion_scale: float = 1.0):
     """Write a synthetic dataset under <root>/SimGrasp/... and return its
     basepath. Instance ids < num_instances-1 are train, the last is test
     (a train_val_split of [n-1, 1])."""
@@ -121,7 +128,8 @@ def generate_simgrasp_dataset(root: str, category: str = "bottle_sim",
     for ins in range(num_instances):
         rng = np.random.RandomState(seed + ins)
         for t, frame in enumerate(generate_sequence(
-                mano_model, rng, num_frames, points_per_part)):
+                mano_model, rng, num_frames, points_per_part,
+                motion_scale=motion_scale)):
             name = f"{ins:05d}_{t:03d}.npz"
             frame["file_name"] = f"{category}_{ins:05d}_{t:03d}"
             np.savez_compressed(pjoin(read_folder, name), all_dict=frame)
