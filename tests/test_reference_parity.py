@@ -280,6 +280,54 @@ def test_handtracknet_parity(exact_procrustes):
                                   _np(ref_ret["pred_kp_vis_mask"]))
 
 
+def test_handtracknet_export_parity(exact_procrustes):
+    """Reverse interop: a flax-initialized HandTrackNet EXPORTED to a torch
+    state dict (utils/torch_export.py) loads into the reference's own model
+    (strict=False — only the never-executed MultiheadAttention weights are
+    missing, trainer.py:249) and reproduces our forward to <0.1 mm. This is
+    what lets nets trained in this package be deployed in the reference's
+    CUDA toolchain."""
+    hn = reference_module("hand_network")
+    from hotrack_tpu.models import HandTrackNet
+    from hotrack_tpu.utils.torch_export import export_handtracknet
+
+    net_cfg = _pointnet_cfg()
+    mine = HandTrackNet(net_cfg=net_cfg, backbone_out_dim=384, handframe="kp")
+    rng = np.random.RandomState(11)
+    b, n = 2, 512
+    pts = (rng.randn(b, n, 3) * 0.06).astype(np.float32)
+    kp = (rng.randn(b, 21, 3) * 0.04).astype(np.float32)
+    palm = (rng.randn(b, 6, 3) * 0.04).astype(np.float32)
+    variables = mine.init(jax.random.PRNGKey(6), jnp.asarray(pts),
+                          jnp.asarray(kp), jnp.asarray(palm))
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in export_handtracknet(params, stats).items()}
+    cfg = {"device": "cpu",
+           "network": {"handframe": "kp", "backbone_out_dim": 384},
+           "pointnet": {"camera": net_cfg}}
+    torch.manual_seed(3)
+    ref = hn.HandTrackNet(cfg).eval()
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    # only the FFN-mode-unused attention stacks may be missing
+    assert all(".attn." in k for k in missing), missing
+
+    inp = {"jittered_hand_kp": torch.tensor(kp),
+           "hand_points": torch.tensor(pts),
+           "gt_hand_pose": {"palm_template": torch.tensor(palm)}}
+    with torch.no_grad(), seed0_fps():
+        ref_ret = ref(inp, {"track_flag": False, "IKNet_flag": False})
+
+    got = mine.apply({"params": params, "batch_stats": stats},
+                     jnp.asarray(pts), jnp.asarray(kp), jnp.asarray(palm),
+                     train=False)
+    err = np.abs(np.asarray(got["pred_kp"]) - _np(ref_ret["pred_kp"])).max()
+    assert err < 1e-4, f"exported-net pred_kp max |diff| {err:.2e} >= 0.1 mm"
+
+
 # ---------------------------------------------------------------- IKNet
 
 def test_iknet_parity(mano_root, exact_procrustes):

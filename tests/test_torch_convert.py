@@ -222,6 +222,90 @@ def test_iknet_structure_roundtrip():
         np.testing.assert_allclose(got_p[k], want_p[k], atol=1e-6, err_msg=str(k))
 
 
+def test_export_roundtrip_handtracknet():
+    """Export (flax -> torch sd) then import must be bit-exact, and every
+    exported tensor must carry the REAL torch module's shape (Conv2d in SA
+    blocks, Conv1d in FP/conv1/final_mlp, Linear elsewhere)."""
+    from hotrack_tpu.utils.torch_export import export_handtracknet
+
+    model = HandTrackNet(net_cfg=NET_CFG, backbone_out_dim=D, handframe="kp")
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.randn(2, 64, 3), jnp.float32) * 0.05
+    kp = jnp.asarray(rng.randn(2, 21, 3), jnp.float32) * 0.04
+    variables = model.init(jax.random.PRNGKey(1), pts, kp, handkp2palmkp(kp)[0])
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = export_handtracknet(params, stats)
+    # module-kind shape contract (pointnet_utils.py:204,260; hand_network.py)
+    assert sd["bhand.sa1.conv_blocks.0.0.weight"].ndim == 4   # Conv2d
+    assert sd["bhand.sa3.mlp_convs.0.weight"].ndim == 4       # Conv2d
+    assert sd["bhand.fp1.mlp_convs.0.weight"].ndim == 3       # Conv1d
+    assert sd["bhand.conv1.weight"].ndim == 3                 # Conv1d
+    assert sd["final_mlp.0.weight"].ndim == 3                 # Conv1d
+    assert sd["r1.linear.weight"].ndim == 3                   # Conv1d
+    assert sd["transt.c11.linear1.weight"].ndim == 2          # Linear
+
+    conv_p, conv_s = convert_handtracknet(sd, NET_CFG, d_model=D)
+    want_p, got_p = _flatten(params), _flatten(conv_p)
+    assert set(want_p) == set(got_p)
+    for k in want_p:
+        np.testing.assert_array_equal(got_p[k], want_p[k], err_msg=str(k))
+    want_s, got_s = _flatten(stats), _flatten(conv_s)
+    assert set(want_s) == set(got_s)
+    for k in want_s:
+        np.testing.assert_array_equal(got_s[k], want_s[k])
+
+
+def test_export_roundtrip_iknet():
+    from hotrack_tpu.utils.torch_export import export_iknet
+
+    model = IKNet()
+    rng = np.random.RandomState(8)
+    kp = jnp.asarray(rng.randn(2, 21, 3), jnp.float32) * 0.04
+    variables = model.init(jax.random.PRNGKey(2), kp,
+                           handkp2palmkp(kp)[0:1][0])
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = export_iknet(params, stats)
+    conv_p, conv_s = convert_iknet(sd)
+    want_p, got_p = _flatten(params), _flatten(conv_p)
+    assert set(want_p) == set(got_p)
+    for k in want_p:
+        np.testing.assert_array_equal(got_p[k], want_p[k], err_msg=str(k))
+    for k in _flatten(stats):
+        np.testing.assert_array_equal(_flatten(conv_s)[k], _flatten(stats)[k])
+
+
+def test_export_checkpoint_file(tmp_path):
+    """save_reference_checkpoint writes a composed .pt the import CLI's
+    loader round-trips (handnet.+IKnet. prefixes, trainer.py:206-227)."""
+    from hotrack_tpu.utils.torch_convert import load_reference_checkpoint
+    from hotrack_tpu.utils.torch_export import save_reference_checkpoint
+
+    hmodel = HandTrackNet(net_cfg=NET_CFG, backbone_out_dim=D, handframe="kp")
+    rng = np.random.RandomState(9)
+    pts = jnp.asarray(rng.randn(1, 64, 3), jnp.float32) * 0.05
+    kp = jnp.asarray(rng.randn(1, 21, 3), jnp.float32) * 0.04
+    hvars = hmodel.init(jax.random.PRNGKey(3), pts, kp, handkp2palmkp(kp)[0])
+    ivars = IKNet().init(jax.random.PRNGKey(4), kp, handkp2palmkp(kp)[0])
+
+    path = save_reference_checkpoint(
+        str(tmp_path / "model_0001.pt"),
+        handnet={"params": jax.tree.map(np.asarray, hvars["params"]),
+                 "batch_stats": jax.tree.map(np.asarray, hvars["batch_stats"])},
+        iknet={"params": jax.tree.map(np.asarray, ivars["params"]),
+               "batch_stats": jax.tree.map(np.asarray, ivars["batch_stats"])},
+        epoch=1)
+    out = load_reference_checkpoint(path, NET_CFG, d_model=D)
+    assert set(out) == {"handnet", "iknet"}
+    got = _flatten(out["handnet"]["params"])
+    want = _flatten(jax.tree.map(np.asarray, hvars["params"]))
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=str(k))
+
+
 def test_convert_cli_roundtrip(tmp_path, monkeypatch):
     """python -m hotrack_tpu.convert: a composed handnet.+IKnet. reference
     checkpoint converts into two orbax checkpoints that Trainer.resume loads
