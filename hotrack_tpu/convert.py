@@ -1,8 +1,16 @@
-"""Convert reference-released torch checkpoints into this package's format.
+"""Convert checkpoints between this package's format and the reference's.
+
+Import (reference .pt -> orbax):
 
     python -m hotrack_tpu.convert --ckpt <model_XXXX.pt> \
         --config handtracknet_test_SimGrasp.yml \
         [--experiment_dir <out>] [--IKNet_dir <out_iknet>] [--epoch N]
+
+Export (trained orbax -> reference .pt, utils/torch_export.py):
+
+    python -m hotrack_tpu.convert --export <out.pt> \
+        --config handtracknet_test_SimGrasp.yml \
+        --experiment_dir <trained_exp> [--IKNet_dir <trained_ik>] [--epoch N]
 
 The reference stores `{'epoch', 'iteration', 'model', 'optimizer'}` dicts
 (trainer.py:253-268) whose model keys may be plain (single-model training
@@ -73,13 +81,38 @@ def _save_network(cfg, network_type: str, experiment_dir: str,
     return trainer.save(epoch)
 
 
+def _load_network(cfg, network_type: str, experiment_dir: str,
+                  epoch: int | None):
+    """Resume a trained orbax checkpoint into a template-initialized Trainer
+    and return ({'params', 'batch_stats'}, resumed_epoch)."""
+    from .train.trainer import Trainer
+    sub = dict(cfg)
+    sub["network"] = dict(cfg["network"])
+    sub["network"]["type"] = network_type
+    sub["experiment_dir"] = experiment_dir
+    trainer = Trainer(sub)
+    trainer.init_state(_example_batch(cfg), cfg.get("seed", 0))
+    path = (os.path.join(trainer.ckpt_dir, f"model_{epoch:04d}")
+            if epoch is not None else None)
+    assert trainer.resume(path), f"no checkpoint under {experiment_dir}"
+    return ({"params": jax.tree.map(np.asarray, trainer.state.params),
+             "batch_stats": jax.tree.map(np.asarray,
+                                         trainer.state.batch_stats)},
+            int(trainer.state.epoch))
+
+
 def main(argv=None):
     from .config import get_config
     from .utils.torch_convert import load_reference_checkpoint
 
     p = argparse.ArgumentParser("convert")
-    p.add_argument("--ckpt", type=str, required=True,
-                   help="reference .pt checkpoint")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="reference .pt checkpoint (import direction)")
+    p.add_argument("--export", type=str, default=None, metavar="OUT_PT",
+                   help="reverse direction: read orbax checkpoints from "
+                        "--experiment_dir (HandTrackNet) and/or --IKNet_dir "
+                        "(IKNet) and write one reference-format .pt "
+                        "(handnet./IKnet.-prefixed when both) to this path")
     p.add_argument("--config", type=str, required=True,
                    help="experiment yml describing the target architecture")
     p.add_argument("--experiment_dir", type=str, default=None,
@@ -111,9 +144,40 @@ def main(argv=None):
                     pass
         overrides[tok[2:]] = val
 
+    if (args.ckpt is None) == (args.export is None):
+        p.error("exactly one of --ckpt (import) or --export OUT_PT "
+                "(export) is required")
+
     cfg = get_config({"config": args.config, **overrides}, save=False)
     net_cfg = cfg["pointnet"]["camera"]
     d_model = cfg["network"]["backbone_out_dim"]
+
+    from os.path import join as pjoin
+
+    def resolve(name):
+        # bare names land under <root>/exps/ like every experiment_dir
+        # (config.py resolution); paths with separators are used as-is
+        return name if os.sep in name else pjoin(cfg["root_dir"], "exps", name)
+
+    if args.export is not None:
+        from .utils.torch_export import save_reference_checkpoint
+        if not (args.experiment_dir or args.IKNet_dir):
+            p.error("--export needs --experiment_dir and/or --IKNet_dir "
+                    "to read trained checkpoints from")
+        handnet = iknet = None
+        epoch = 0
+        if args.experiment_dir:
+            handnet, epoch = _load_network(cfg, "HandTrackNet",
+                                           resolve(args.experiment_dir),
+                                           args.epoch)
+        if args.IKNet_dir:
+            iknet, epoch = _load_network(cfg, "iknet",
+                                         resolve(args.IKNet_dir), args.epoch)
+        out = save_reference_checkpoint(args.export, handnet=handnet,
+                                        iknet=iknet, epoch=epoch)
+        print(f"exported -> {out} (epoch {epoch}; loads via the reference "
+              "Trainer.resume, strict=False)")
+        return [out]
 
     # single load, weights_only where supported (untrusted .pt files execute
     # arbitrary pickle code under plain torch.load on older torch)
@@ -128,13 +192,6 @@ def main(argv=None):
 
     nets = load_reference_checkpoint(raw, net_cfg, d_model)
     assert nets, f"no recognizable network keys in {args.ckpt}"
-
-    from os.path import join as pjoin
-
-    def resolve(name):
-        # bare names land under <root>/exps/ like every experiment_dir
-        # (config.py resolution); paths with separators are used as-is
-        return name if os.sep in name else pjoin(cfg["root_dir"], "exps", name)
 
     written = []
     if "handnet" in nets:

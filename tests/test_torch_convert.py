@@ -374,3 +374,53 @@ def test_convert_cli_roundtrip(tmp_path, monkeypatch):
     assert set(want) == set(got)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=1e-6, err_msg=str(k))
+
+
+def test_export_cli(tmp_path, monkeypatch):
+    """python -m hotrack_tpu.convert --export: trained orbax checkpoints
+    (handnet + iknet experiment dirs) compose into one reference-format .pt
+    whose weights import back bit-exactly."""
+    from hotrack_tpu import convert as convert_cli
+    from hotrack_tpu.config import get_config
+    from hotrack_tpu.train.trainer import Trainer
+    from hotrack_tpu.utils.torch_convert import load_reference_checkpoint
+
+    monkeypatch.setenv("HOTRACK_DATA_ROOT", str(tmp_path))
+    overrides = {"num_points": 64, "network/backbone_out_dim": D,
+                 "pointnet_cfg/camera": "pointnet2_tiny.yml"}
+
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.randn(1, 64, 3), jnp.float32) * 0.05
+    kp = jnp.asarray(rng.randn(1, 21, 3), jnp.float32) * 0.04
+    batch = {"hand_points": pts, "jittered_hand_kp": kp, "gt_hand_kp": kp,
+             "gt_hand_pose": {"palm_template": handkp2palmkp(kp)}}
+
+    trees = {}
+    for net_type, exp in (("HandTrackNet", "exp_htn"), ("iknet", "exp_ik")):
+        cfg = get_config({"config": "handtracknet_test_SimGrasp.yml",
+                          "experiment_dir": exp, **overrides}, save=False)
+        cfg["network"] = dict(cfg["network"], type=net_type)
+        tr = Trainer(cfg)
+        tr.init_state(batch, seed=1 if net_type == "iknet" else 0)
+        tr.state = tr.state._replace(epoch=jnp.asarray(9))
+        tr.save()
+        trees[net_type] = jax.tree.map(np.asarray, tr.state.params)
+
+    out = tmp_path / "exported.pt"
+    written = convert_cli.main([
+        "--export", str(out), "--config", "handtracknet_test_SimGrasp.yml",
+        "--experiment_dir", "exp_htn", "--IKNet_dir", "exp_ik",
+        "--num_points", "64", "--network/backbone_out_dim", str(D),
+        "--pointnet_cfg/camera", "pointnet2_tiny.yml"])
+    assert written == [str(out)]
+
+    raw = torch.load(out, weights_only=True)
+    assert raw["epoch"] == 9
+    nets = load_reference_checkpoint(raw, NET_CFG, d_model=D)
+    assert set(nets) == {"handnet", "iknet"}
+    for net_type, key in (("HandTrackNet", "handnet"), ("iknet", "iknet")):
+        want = _flatten(trees[net_type])
+        got = _flatten(jax.tree.map(np.asarray, nets[key]["params"]))
+        assert set(want) == set(got)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=str(k))
