@@ -165,14 +165,25 @@ def main(argv=None):
             p.error("--export needs --experiment_dir and/or --IKNet_dir "
                     "to read trained checkpoints from")
         handnet = iknet = None
-        epoch = 0
+        epoch = hand_epoch = ik_epoch = 0
         if args.experiment_dir:
-            handnet, epoch = _load_network(cfg, "HandTrackNet",
-                                           resolve(args.experiment_dir),
-                                           args.epoch)
+            handnet, hand_epoch = _load_network(cfg, "HandTrackNet",
+                                                resolve(args.experiment_dir),
+                                                args.epoch)
+            epoch = hand_epoch
         if args.IKNet_dir:
-            iknet, epoch = _load_network(cfg, "iknet",
-                                         resolve(args.IKNet_dir), args.epoch)
+            iknet, ik_epoch = _load_network(cfg, "iknet",
+                                            resolve(args.IKNet_dir),
+                                            args.epoch)
+            # the composed .pt carries ONE epoch; stamp the primary
+            # (HandTrackNet) epoch and warn if the two nets were trained to
+            # different epochs so the reference's resume log isn't read as
+            # mislabeling the handnet (ADVICE r4)
+            epoch = hand_epoch if handnet is not None else ik_epoch
+            if handnet is not None and hand_epoch != ik_epoch:
+                print(f"WARNING: HandTrackNet epoch {hand_epoch} != IKNet "
+                      f"epoch {ik_epoch}; stamping the composed checkpoint "
+                      f"with the HandTrackNet epoch ({hand_epoch})")
         out = save_reference_checkpoint(args.export, handnet=handnet,
                                         iknet=iknet, epoch=epoch)
         print(f"exported -> {out} (epoch {epoch}; loads via the reference "

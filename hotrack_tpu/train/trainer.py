@@ -259,8 +259,9 @@ class Trainer:
         grads = jax.grad(loss_fn, has_aux=True)(params)[0]
         return jax.tree.map(lambda g: jnp.any(g != 0), grads)
 
-    @partial(jax.jit, static_argnames=("self",))
-    def _train_step(self, state: TrainState, batch: dict, rng):
+    @partial(jax.jit, static_argnames=("self", "reach_mask"))
+    def _train_step(self, state: TrainState, batch: dict, rng,
+                    reach_mask=None):
         cfg = self.cfg
         lr = lr_schedule(cfg, state.epoch)
         momentum = bn_momentum_schedule(cfg, state.epoch)
@@ -282,10 +283,19 @@ class Trainer:
         # their gradient is transiently all-zero (dead ReLU path), which
         # torch does not (a zero .grad tensor still gets decay + the
         # momentum-driven Adam step).
-        mask = self._reach_mask
-        if mask is not None:
-            updates = jax.tree.map(
-                lambda u, m: u if m else jnp.zeros_like(u), updates, mask)
+        #
+        # reach_mask is a STATIC flat tuple of per-leaf bools (not read from
+        # self: self hashes by identity, so a trace made while the probe
+        # hadn't run yet would be silently cached and keep skipping the mask
+        # forever — ADVICE r4). None = no masking (pre-probe / FLOP traces).
+        if reach_mask is not None:
+            leaves, treedef = jax.tree.flatten(updates)
+            assert len(reach_mask) == len(leaves), (
+                f"reach_mask has {len(reach_mask)} leaves, updates "
+                f"{len(leaves)} — probe/step param trees diverged")
+            updates = jax.tree.unflatten(treedef, [
+                u if m else jnp.zeros_like(u)
+                for u, m in zip(leaves, reach_mask)])
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, new_bs, opt_state, state.epoch,
                                state.iteration + 1)
@@ -317,13 +327,40 @@ class Trainer:
             # one-time reachability probe (lazy: eval-only Trainers — convert,
             # tracking runners — never pay it). Reachability is architectural,
             # not batch-dependent; a small slice keeps the probe compile cheap.
+            # Guard against a degenerate probe slice (e.g. all-invalid
+            # empty_frame rows from the real loaders) silently freezing live
+            # leaves: an implausibly frozen small-slice mask is re-probed on
+            # the full batch, and an all-frozen mask is a hard error rather
+            # than a silent no-op training run (ADVICE r4).
             probe = jax.tree.map(
                 lambda a: a[:4] if getattr(a, "ndim", 0) else a, batch)
-            mask = self._probe_reachability(
-                self.state.params, self.state.batch_stats, probe, rng)
-            self._reach_mask = jax.tree.map(bool, jax.device_get(mask))
-        self.state, loss_dict = self._train_step(self.state, batch, rng)
+            mask = self._flat_mask(self._probe_reachability(
+                self.state.params, self.state.batch_stats, probe, rng))
+            if not all(mask):
+                mask = self._flat_mask(self._probe_reachability(
+                    self.state.params, self.state.batch_stats, batch, rng))
+            n_frozen = sum(not m for m in mask)
+            if n_frozen == len(mask):
+                raise RuntimeError(
+                    "reachability probe froze every parameter leaf — the "
+                    "probe batch produced identically-zero gradients "
+                    "(degenerate/empty rows, or a dead graph); refusing to "
+                    "start a training run that would never update")
+            if n_frozen:
+                print(f"reachability probe: {n_frozen}/{len(mask)} param "
+                      "leaves unreachable (frozen, no decay — torch "
+                      ".grad-is-None semantics)")
+            self._reach_mask = mask
+        self.state, loss_dict = self._train_step(self.state, batch, rng,
+                                                 reach_mask=self._reach_mask)
         return loss_dict
+
+    @staticmethod
+    def _flat_mask(mask_tree):
+        """Device mask pytree -> hashable flat tuple of Python bools (leaf
+        order = jax.tree.flatten order, matched in _train_step)."""
+        return tuple(bool(x) for x in jax.tree.leaves(
+            jax.device_get(mask_tree)))
 
     def test(self, batch: dict) -> dict:
         if self.mesh is not None:

@@ -80,7 +80,21 @@ def _put_attn_module(sd, prefix, p):
     """FFN-mode attn_module (the shipped graph): norm1 + optional FFN.
     The torch module's MultiheadAttention weights are left absent — its
     attn=False forward never touches them and the reference loads
-    checkpoints with strict=False (trainer.py:249)."""
+    checkpoints with strict=False (trainer.py:249).
+
+    Attention-mode (use_attention=True) nets are NOT exportable: the
+    strict=False load would silently leave the torch MultiheadAttention
+    randomly initialized, so refuse rather than emit a wrong-predicting
+    checkpoint."""
+    extra = {k for k in p if k not in
+             ("LayerNorm_0", "LayerNorm_1", "Dense_0", "Dense_1")}
+    if extra:
+        raise ValueError(
+            f"attention-mode export is unsupported: {prefix} carries "
+            f"non-FFN params {sorted(extra)} (e.g. use_attention=True "
+            "MultiHeadDotProductAttention); the reference's strict=False "
+            "load (trainer.py:249) would silently run random attention "
+            "weights. Export only FFN-mode (default) nets.")
     _put_layernorm(sd, prefix + ".norm1", p["LayerNorm_0"])
     if "Dense_0" in p:
         _put_dense(sd, prefix + ".linear1", p["Dense_0"], "linear")

@@ -278,6 +278,25 @@ def test_export_roundtrip_iknet():
         np.testing.assert_array_equal(_flatten(conv_s)[k], _flatten(stats)[k])
 
 
+def test_export_attention_mode_refused():
+    """use_attention=True nets must be refused by the exporter: the
+    reference's strict=False resume (trainer.py:249) would silently run
+    randomly-initialized MultiheadAttention weights (ADVICE r4)."""
+    from hotrack_tpu.utils.torch_export import export_handtracknet
+
+    model = HandTrackNet(net_cfg=NET_CFG, backbone_out_dim=D, handframe="kp",
+                         use_attention=True)
+    rng = np.random.RandomState(11)
+    pts = jnp.asarray(rng.randn(1, 64, 3), jnp.float32) * 0.05
+    kp = jnp.asarray(rng.randn(1, 21, 3), jnp.float32) * 0.04
+    variables = model.init(jax.random.PRNGKey(5), pts, kp,
+                           handkp2palmkp(kp)[0])
+    with pytest.raises(ValueError, match="attention-mode"):
+        export_handtracknet(jax.tree.map(np.asarray, variables["params"]),
+                            jax.tree.map(np.asarray,
+                                         variables["batch_stats"]))
+
+
 def test_export_checkpoint_file(tmp_path):
     """save_reference_checkpoint writes a composed .pt the import CLI's
     loader round-trips (handnet.+IKnet. prefixes, trainer.py:206-227)."""
