@@ -399,15 +399,25 @@ class Trainer:
         return path
 
     def resume(self, path: str | None = None) -> bool:
-        """Load latest (or given) checkpoint; tolerant like trainer.py:240-249."""
+        """Load latest (or given) checkpoint; tolerant like trainer.py:240-249.
+
+        A positive `resume_epoch` in the config pins the exact checkpoint
+        instead of the latest (reference trainer.py:193-196, 230) — without
+        it, evals against a still-training or multi-checkpoint experiment
+        silently pick whatever is newest."""
         if path is None:
-            if not os.path.isdir(self.ckpt_dir):
-                return False
-            ckpts = sorted(d for d in os.listdir(self.ckpt_dir)
-                           if d.startswith("model_") and "tmp" not in d)
-            if not ckpts:
-                return False
-            path = pjoin(self.ckpt_dir, ckpts[-1])
+            want = int(self.cfg.get("resume_epoch") or -1)
+            if want > 0:
+                path = pjoin(self.ckpt_dir, f"model_{want:04d}")
+                assert os.path.isdir(path), f"no checkpoint {path}"
+            else:
+                if not os.path.isdir(self.ckpt_dir):
+                    return False
+                ckpts = sorted(d for d in os.listdir(self.ckpt_dir)
+                               if d.startswith("model_") and "tmp" not in d)
+                if not ckpts:
+                    return False
+                path = pjoin(self.ckpt_dir, ckpts[-1])
         assert self.state is not None, "init_state before resume"
         tmpl = {"params": self.state.params,
                 "batch_stats": self.state.batch_stats,

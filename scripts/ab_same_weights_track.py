@@ -85,13 +85,18 @@ def load_jax_ckpt(root: str, exp: str, epoch: int):
     return params, stats, cfg, epoch
 
 
-def jax_track(args, solver: str) -> float:
-    """Our production tracking eval (test CLI -> track/hand.py scan)."""
+def jax_track(args, solver: str, epoch: int) -> float:
+    """Our production tracking eval (test CLI -> track/hand.py scan).
+
+    resume_epoch pins the exact checkpoint — without it both legs silently
+    evaluate whatever is LATEST in their experiment dirs (this bit: an
+    --epoch 250 run against a 300-epoch experiment re-measured e300)."""
     from hotrack_tpu.train.cli import test_main
 
     sys.argv = ["test", "--config", "handtracknet_test_SimGrasp.yml",
                 "--num_points", str(args.num_points),
                 "--experiment_dir", args.exp,
+                "--resume_epoch", str(epoch),
                 "--network/procrustes_solver", solver]
     avg, _fps = test_main()
     return float(avg["hand_pred_kp_diff"])
@@ -123,6 +128,7 @@ def torch_track(args, epoch: int) -> float:
     tcfg.update(device="cpu", num_workers=0, use_optimization=False,
                 sdf_code_source="gt", mano_root=mano_dir,
                 experiment_dir=exp_dir,
+                resume_epoch=epoch,  # pin the exported ckpt, not the latest
                 save_dir=os.path.join(exp_dir, "results"))
 
     scratch = tempfile.mkdtemp(prefix="ab_swt_")
@@ -184,7 +190,7 @@ def main():
     if not args.skip_jax:
         solvers = {"both": ["horn", "svd"]}.get(args.solver, [args.solver])
         for s in solvers:
-            results[f"jax_track_m_{s}"] = jax_track(args, s)
+            results[f"jax_track_m_{s}"] = jax_track(args, s, epoch)
             print(f"[jax/{s}] TRACKING kp_diff "
                   f"{results[f'jax_track_m_{s}']:.6f} m", flush=True)
 

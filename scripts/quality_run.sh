@@ -27,6 +27,13 @@ HOTRACK_NO_FUSED_OBJ=1 HOTRACK_NO_FOURIER_DA=1 \
     python -m hotrack_tpu.test --config objopt_test_SimGrasp_synth.yml
 echo "=== tracking eval (HandTrackNet only) ==="
 python -m hotrack_tpu.test --config handtracknet_test_SimGrasp.yml --experiment_dir train_debug
+echo "=== same-weights tracking A/B (export -> reference HandTrackModel loop) ==="
+# regression stage for the converter + drivers: the 300-epoch net exported
+# to the reference's format must track within a few % of our scan driver
+# through the reference's own loop (BENCHMARKS "Same-weights tracking A/B");
+# results accumulate in $HOTRACK_DATA_ROOT/same_weights_track.json
+python scripts/ab_same_weights_track.py --root "$HOTRACK_DATA_ROOT" \
+    --exp train_debug
 echo "=== full pipeline eval (handopt) ==="
 python -m hotrack_tpu.test --config handopt_test_SimGrasp_synth.yml
 echo "=== quality run complete ==="
