@@ -45,11 +45,41 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
 
 def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """points (B, N, C), idx (B, S) or (B, S1, .., Sk) -> (B, *idx, C)
-    (pointnet_utils.py:80-97)."""
+    (pointnet_utils.py:80-97).
+
+    At training-scale shapes on TPU this dispatches to the one-hot-MXU
+    gather kernel (ops/pallas/gather_mm.py): XLA's random row gathers run
+    at a few % of HBM bandwidth and, with their scatter-add adjoints, are
+    ~40% of the train step's device time (scripts/trace_train.py). The
+    kernel is bit-exact forward; grads agree to f32 round-off. Small
+    (batch-1 tracking scan) shapes stay on the XLA gather — they are
+    launch-latency-bound, not bandwidth-bound. HOTRACK_NO_PALLAS_GATHER=1
+    forces XLA everywhere.
+    """
     b = points.shape[0]
     flat_idx = idx.reshape(b, -1)
-    out = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
+    if _use_gather_mm(points, flat_idx):
+        from .pallas.gather_mm import gather_rows_mm
+        out = gather_rows_mm(points, flat_idx)
+    else:
+        out = jnp.take_along_axis(points, flat_idx[..., None], axis=1)
     return out.reshape(idx.shape + (points.shape[-1],))
+
+
+def _use_gather_mm(points, flat_idx) -> bool:
+    import os
+    if os.environ.get("HOTRACK_NO_PALLAS_GATHER"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if points.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    b, n, c = points.shape
+    rows = b * flat_idx.shape[1]
+    # worth it when the flattened gather is large (training batches); the
+    # VMEM-resident source block must fit comfortably (N*C + 3 bf16 planes)
+    min_rows = int(os.environ.get("HOTRACK_GATHER_MM_MIN_ROWS", 16384))
+    return rows >= min_rows and n * c <= 512 * 512 and n <= 1024
 
 
 def gather_operation(feature: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
