@@ -169,7 +169,17 @@ def get_dataloader(cfg, mode: str, shuffle: bool | None = None):
     single = SingleFrameData(dataset)
     if shuffle is None:
         shuffle = mode == "train"
-    # train drops ragged tails (stable jit shapes per epoch); eval keeps every
-    # frame (one extra compile for the final partial batch)
+    # The reference's DataLoader never drops the ragged tail batch
+    # (datasets/dataset.py:114: no drop_last) — at 350 samples / batch 32
+    # that is 11 optimizer steps per epoch to a drop_last trainer's 10, a
+    # systematic 10% step deficit that the round-5 IKNet quat-L1 bisect
+    # traced a measurable quality gap to. Default is now reference-faithful
+    # (one extra jit compile for the tail shape, cached); set
+    # `drop_last: true` for strict static shapes — REQUIRED with
+    # dp_devices > 1, where the batch axis must stay divisible
+    # (Trainer._shard_batch asserts).
+    drop_last = cfg.get("drop_last")
+    if drop_last is None:
+        drop_last = bool(cfg.get("dp_devices", 0)) and mode == "train"
     return BatchIterator(single, cfg["batch_size"], shuffle=shuffle,
-                         seed=cfg.get("seed", 0), drop_last=(mode == "train"))
+                         seed=cfg.get("seed", 0), drop_last=drop_last)

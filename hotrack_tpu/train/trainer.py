@@ -165,7 +165,8 @@ class Trainer:
         elif self.network_type == "iknet":
             self.model = IKNet(
                 iknetframe=cfg["network"].get("iknetframe", "kp"),
-                procrustes_solver=cfg["network"].get("procrustes_solver"))
+                procrustes_solver=cfg["network"].get("procrustes_solver"),
+                torch_init=cfg["network"].get("torch_init", False))
         else:
             raise NotImplementedError(self.network_type)
 

@@ -197,6 +197,16 @@ def main():
                     help="patch the reference dataset to faithful "
                          "(GPU-semantics, start-index-0) numpy FPS instead "
                          "of its CPU random fallback")
+    ap.add_argument("--jax_solver", choices=["horn", "svd"], default=None,
+                    help="palm-canonicalization solver for the jax leg "
+                         "(default: the package default, Horn; the "
+                         "reference always uses exact SVD) — round-5 "
+                         "quat-L1 bisect")
+    ap.add_argument("--jax_torch_init", action="store_true",
+                    help="run the jax leg with torch-matching init "
+                         "(network/torch_init: kaiming-uniform kernels + "
+                         "uniform bias) — round-5 bisect of the IKNet "
+                         "quat-L1 gap")
     args = ap.parse_args()
     assert not (args.track_eval and args.net == "iknet"), \
         "tracking A/B is the handtracknet protocol"
@@ -206,7 +216,9 @@ def main():
     args.etag = f"_e{args.epochs}" if args.epochs != 20 else ""
     args.tag = (f"s{args.seed}" + args.etag
                 + ("_jrand" if args.jax_sample == "random" else "")
-                + ("_tfps" if args.torch_fps else ""))
+                + ("_tfps" if args.torch_fps else "")
+                + ("_ti" if args.jax_torch_init else "")
+                + (f"_{args.jax_solver}" if args.jax_solver else ""))
 
     import torch
     from reference_loader import (reference_module, write_fake_mano_pkl)
@@ -253,13 +265,17 @@ def main():
                 else "handtracknet_train_SimGrasp.yml")
     suffix = ("_ik" if args.net == "iknet" else "") + f"_s{args.seed}" + args.etag
     jax_exp = ("ab_quality_jax" + suffix
-               + ("_rs" if args.jax_sample == "random" else ""))
+               + ("_rs" if args.jax_sample == "random" else "")
+               + ("_ti" if args.jax_torch_init else "")
+               + (f"_{args.jax_solver}" if args.jax_solver else ""))
     torch_exp = "ab_torch" + suffix + ("_fps" if args.torch_fps else "")
     cfg = get_config({"config": cfg_name,
                       "num_points": args.num_points,
                       "batch_size": args.batch,
                       "total_epoch": args.epochs,
-                      "experiment_dir": jax_exp},
+                      "experiment_dir": jax_exp,
+                      **({"network/torch_init": True}
+                         if args.jax_torch_init else {})},
                      save=False)
 
     results = {}
@@ -336,6 +352,10 @@ def main():
                     "--seed", str(args.seed)]
         if args.jax_sample == "random":
             sys.argv += ["--point_sample", "random"]
+        if args.jax_torch_init:
+            sys.argv += ["--network/torch_init", "true"]
+        if args.jax_solver:
+            sys.argv += ["--network/procrustes_solver", args.jax_solver]
         trainer = jcli.train_main()
 
         jcfg = dict(trainer.cfg)
