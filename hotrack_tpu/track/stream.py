@@ -35,23 +35,32 @@ from ..opt.obj_pose import optimize_obj_pose
 from .hand import _make_hand_step, _rest_palm_template
 
 
-def _serve(step_fn, state, inputs: Iterable, fetch) -> Iterator[dict]:
-    """Double-buffered serving loop shared by both trackers.
+def _serve(step_fn, state, inputs: Iterable, fetch,
+           depth: int = 1) -> Iterator[dict]:
+    """Pipelined serving loop shared by both trackers.
 
-    Dispatches frame f+1 BEFORE fetching frame f's outputs, and starts each
-    output's device->host copy asynchronously (`copy_to_host_async`) the
-    moment its step is dispatched: a blocking `np.asarray` on a device array
-    costs one full relay round-trip PER ARRAY, serialized on the host thread
-    (measured ~31 ms each through the axon tunnel — a 3-key fetch made the
-    combined loop 81 ms/frame, no better than blocking), while the async
-    copy pipelines every transfer behind the next frame's compute so the
-    later `np.asarray` finds the bytes already on host (measured: obj serve
-    32.8 -> 22.9 ms/frame, combined hand+obj 81 -> ~bound — BENCHMARKS.md
-    "Realistic serving loop"). The consumer sees one frame of added latency
-    and per-frame host dicts in input order, one per input (the stream may
-    be infinite — a live camera — or a finite clip; both are flushed
-    exactly)."""
-    prev = None
+    Dispatches frame f+depth BEFORE fetching frame f's outputs, and starts
+    each output's device->host copy asynchronously (`copy_to_host_async`)
+    the moment its step is dispatched: a blocking `np.asarray` on a device
+    array costs one full relay round-trip PER ARRAY, serialized on the host
+    thread (measured ~31 ms each through the axon tunnel — a 3-key fetch
+    made the combined loop 81 ms/frame, no better than blocking), while the
+    async copy pipelines every transfer behind the next frames' compute so
+    the later `np.asarray` finds the bytes already on host (measured: obj
+    serve 32.8 -> 22.9 ms/frame, combined hand+obj 81 -> ~bound —
+    BENCHMARKS.md "Realistic serving loop").
+
+    `depth` = frames of added consumer latency. depth=1 (default) hides the
+    round-trip behind ONE frame of compute — enough when compute >= the
+    round-trip (combined hand+obj lands within 3% of device-resident).
+    When a single stream's compute is SHORTER than the round-trip
+    (obj-only: ~18 ms compute vs ~31 ms RT), the exposed tail costs
+    ~5-6 ms/frame (round-5 decomposition: the gap is neither upload nor
+    fetch-key count); depth=2 buys a second frame of compute to hide it
+    (measured: obj-only 23.7 -> ~bound). On a local-PCIe TPU host the
+    round-trip is sub-ms and depth=1 is always enough."""
+    from collections import deque
+    pending: deque = deque()
     for inp in inputs:
         if isinstance(inp, dict):
             state, out = step_fn(state, **inp)
@@ -63,11 +72,11 @@ def _serve(step_fn, state, inputs: Iterable, fetch) -> Iterator[dict]:
                 leaf.copy_to_host_async()
             except (AttributeError, NotImplementedError):  # non-jax leaf
                 pass
-        if prev is not None:
-            yield jax.tree.map(np.asarray, prev)
-        prev = sel
-    if prev is not None:
-        yield jax.tree.map(np.asarray, prev)
+        pending.append(sel)
+        if len(pending) > depth:
+            yield jax.tree.map(np.asarray, pending.popleft())
+    while pending:
+        yield jax.tree.map(np.asarray, pending.popleft())
 
 
 class HandTracker:
@@ -173,15 +182,16 @@ class HandTracker:
         return self._step(state, xs)
 
     def serve(self, state: dict, frames: Iterable,
-              fetch: Sequence[str] | None = ("pred_kp",)) -> Iterator[dict]:
-        """Double-buffered serving: yields one host dict per frame, in
+              fetch: Sequence[str] | None = ("pred_kp",),
+              depth: int = 1) -> Iterator[dict]:
+        """Pipelined serving: yields one host dict per frame, in
         order, fetching only the `fetch` keys (None = everything). `frames`
         is an iterable of per-frame `step` kwargs dicts (hand_points,
         background_mask, obj_rotation, obj_translation, projection) or bare
-        hand_points arrays. One frame of latency buys hiding the
-        device->host round-trip behind the next frame's compute; use `step`
-        directly when the final state must be carried onward."""
-        return _serve(self.step, state, frames, fetch)
+        hand_points arrays. `depth` frames of latency buy hiding the
+        device->host round-trip behind that many frames of compute; use
+        `step` directly when the final state must be carried onward."""
+        return _serve(self.step, state, frames, fetch, depth)
 
 
 class ObjTracker:
@@ -215,17 +225,19 @@ class ObjTracker:
 
     def serve(self, state, clouds: Iterable,
               fetch: Sequence[str] | None = ("rotation", "translation"),
-              ) -> Iterator[dict]:
-        """Double-buffered serving over an iterable of (N, 3) object
-        clouds; see HandTracker.serve."""
-        return _serve(self.step, state, clouds, fetch)
+              depth: int = 1) -> Iterator[dict]:
+        """Pipelined serving over an iterable of (N, 3) object
+        clouds; see HandTracker.serve. Through a remote relay whose
+        round-trip exceeds one frame's ~18 ms compute, depth=2 recovers
+        the device-resident bound (BENCHMARKS round 5)."""
+        return _serve(self.step, state, clouds, fetch, depth)
 
 
 def serve_combined(hand_tracker: HandTracker, obj_tracker: ObjTracker,
                    hand_state: dict, obj_state, frames: Iterable,
                    fetch: Sequence[str] | None = (
                        "pred_kp", "obj_rotation", "obj_translation"),
-                   ) -> Iterator[dict]:
+                   depth: int = 1) -> Iterator[dict]:
     """Joint hand + object serving: both poses out of every frame — the
     full HOTrack product shape (the reference runs both models per frame,
     track_network.py:159-226 + 351-369). One double-buffered loop drives
@@ -247,4 +259,4 @@ def serve_combined(hand_tracker: HandTracker, obj_tracker: ObjTracker,
         out.update({f"obj_{k}": v for k, v in o_out.items()})
         return (h_state, o_state), out
 
-    return _serve(step, (hand_state, obj_state), frames, fetch)
+    return _serve(step, (hand_state, obj_state), frames, fetch, depth)

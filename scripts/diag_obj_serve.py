@@ -79,6 +79,17 @@ def main():
     timed(serve(host_clouds, ("rotation",)),
           "F serve host clouds, fetch=(rotation,)")
 
+    def serve_d(clouds, fetch, depth):
+        def run():
+            for _ in tracker.serve(state0, clouds, fetch=fetch, depth=depth):
+                pass
+        return run
+
+    timed(serve_d(host_clouds, ("rotation", "translation"), 2),
+          "G serve host clouds, fetch=(r,t), depth=2")
+    timed(serve_d(host_clouds, ("rotation", "translation"), 3),
+          "H serve host clouds, fetch=(r,t), depth=3")
+
 
 if __name__ == "__main__":
     main()

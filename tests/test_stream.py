@@ -242,6 +242,17 @@ def test_hand_serve_matches_step(env):
     for g, e in zip(full, expect):
         np.testing.assert_array_equal(g["pred_kp"], e)
 
+    # deeper pipelining (depth=2/3, round-5 relay-hiding knob) must change
+    # neither the outputs nor their order, incl. clips shorter than depth
+    for depth in (2, 3, 10):
+        state = tracker.init_state(batch["hand_points"][0],
+                                   batch["jittered_hand_kp"][0])
+        frames = (batch["hand_points"][f] for f in range(t_frames))
+        got = list(tracker.serve(state, frames, depth=depth))
+        assert len(got) == t_frames
+        for g, e in zip(got, expect):
+            np.testing.assert_array_equal(g["pred_kp"], e)
+
 
 def test_obj_serve_matches_step(env):
     mano, batch, trainer = env
