@@ -35,10 +35,13 @@ deterministic either way).
 Used by ops/pointops.index_points on TPU for training-scale shapes (the
 batch-1 tracking scan stays on XLA gathers — its per-frame gathers are
 small and the scan is launch-latency-bound). HOTRACK_NO_PALLAS_GATHER=1
-forces the XLA path everywhere. Measured on v5e: train step 22.4 ->
-19.0 ms (1.18x) at the bench operating point; forward bitwise vs the
-gather at every shipped shape (scripts/check_gather_mm_train.py + the
-round-5 bitwise sweep in BENCHMARKS). NOTE: under multi-chip GSPMD (dp
+forces the XLA path everywhere. Measured on v5e: train-step DEVICE time
+19.0 -> 15.2 ms (1.25x, jax.profiler traces; the gather fusions' 7.5
+ms/step drop to ~2.7) at the bench operating point — wall-clock through
+the axon relay stays ~22 ms/step (per-call dispatch-bound; a local-PCIe
+host realizes the device-side gain). Forward bitwise vs the gather at
+every shipped shape (scripts/check_gather_mm_train.py + the round-5
+bitwise sweep in BENCHMARKS). NOTE: under multi-chip GSPMD (dp
 training) XLA must partition the custom call along batch — if a future
 multi-chip run rejects it, set HOTRACK_NO_PALLAS_GATHER=1 for that run
 (the CPU-mesh dryrun is unaffected: the kernel is TPU-only).
