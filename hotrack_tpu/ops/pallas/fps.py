@@ -33,36 +33,80 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fps_kernel(xyz_ref, mask_ref, idx_ref, *, npoint: int):
-    """One batch element per grid step. Block shapes: xyz (1, 3, Np),
-    mask (1, 1, Np) f32, idx out (1, 1, npoint_pad) i32.
+    """BSUB batch elements per grid step, vectorized over sublane rows.
+    Block shapes: xyz (BSUB, 3, Np), mask (BSUB, Np) f32, idx out
+    (BSUB, npoint_pad) i32 — mask/idx are 2-D so the (BSUB, ·) vectors
+    load/store as plain {0,0} tiles (a (BSUB, 1, ·) block's singleton
+    sublane dim makes Mosaic demand an invalid replicated relayout).
 
-    Selected indices accumulate in a vector register (out_lanes == i selects
-    the slot) and are stored once at the end — Mosaic requires lane-aligned
-    vector stores, so a per-iteration 1-lane store won't compile."""
+    The scan is sequential in npoint by problem statement, but each
+    iteration's distance update / argmax is row-parallel across the BSUB
+    batch elements — one (BSUB, n) VPU op instead of BSUB sequential
+    (1, n) grid steps (round 5: FPS was 26% of the train step's device
+    time at batch 32 with the one-row version). Selected indices
+    accumulate in a vector register (out_lanes == i selects the slot) and
+    are stored once at the end — Mosaic requires lane-aligned vector
+    stores, so a per-iteration 1-lane store won't compile."""
+    bsub = xyz_ref.shape[0]
     n = xyz_ref.shape[-1]
     out_pad = idx_ref.shape[-1]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), dimension=1)
-    out_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, out_pad), dimension=1)
-    xyz = xyz_ref[0]      # (3, n)
-    valid = mask_ref[0] > 0.5  # (1, n)
+    # All per-row scalars (the running farthest index, accumulator slots)
+    # live as f32: indices < 2^24 are f32-exact, and Mosaic lane-broadcasts
+    # f32 (BSUB, 1) row scalars fine where the i32 relayout is rejected
+    # ("non-singleton logical dimension is replicated in destination").
+    # argmax is expressed as row-max + first-matching-lane (jnp.argmax's
+    # lowest-index tie rule, preserved exactly).
+    # iotas are built at full (BSUB, ·) shape: Mosaic rejects the sublane
+    # broadcast of a (1, ·) row against (BSUB, 1) operands ("invalid
+    # relayout ... replicated in destination but not in source"); a
+    # concrete (BSUB, ·) iota sidesteps it, and (BSUB, 1) -> (BSUB, ·)
+    # lane broadcasts are the well-supported (softmax-class) direction.
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (bsub, n), dimension=1).astype(jnp.float32)
+    out_lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (bsub, out_pad), dimension=1).astype(jnp.float32)
+    xyz = xyz_ref[...]                      # (BSUB, 3, n)
+    valid = mask_ref[...] > 0.5             # (BSUB, n)
     big = jnp.float32(1e10)
-    init_dist = jnp.where(valid, big, -1.0)  # (1, n)
+    init_dist = jnp.where(valid, big, -1.0)  # (BSUB, n)
+
+    ones_out = (out_lanes * jnp.float32(0.0) + jnp.float32(1.0))[:1]  # (1,out)
 
     def body(i, state):
-        min_dist, farthest, acc = state
-        acc = jnp.where(out_lanes == i, farthest, acc)
-        onehot = lanes == farthest  # (1, n)
-        cur = jnp.sum(jnp.where(onehot, xyz, 0.0), axis=1, keepdims=True)
+        min_dist, farthest, acc = state      # (BSUB,n) (BSUB,1) (BSUB,out)
+        # farthest (BSUB,1) -> (BSUB,out): Mosaic rejects both the implicit
+        # where-broadcast and broadcast_in_dim of per-sublane scalars here
+        # ("invalid relayout ... replicated in destination"); a k=1 MXU dot
+        # against ones DOES lower, but runs single-pass bf16 — so split the
+        # index into a multiple-of-256 plane + remainder (both bf16-exact
+        # for n <= 65536; products x*1 exact, f32 accumulation exact).
+        hi = jnp.floor(farthest * jnp.float32(1 / 256)) * jnp.float32(256)
+        lo = farthest - hi
+        far_wide = (jnp.dot(hi, ones_out, preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, ones_out,
+                              preferred_element_type=jnp.float32))
+        acc = jnp.where(out_lanes == i.astype(jnp.float32), far_wide, acc)
+        onehot = lanes == farthest           # (BSUB, n)
+        cur = jnp.sum(jnp.where(onehot[:, None, :], xyz, 0.0),
+                      axis=2, keepdims=True)  # (BSUB, 3, 1)
         diff = xyz - cur
-        dist = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, n)
+        dist = jnp.sum(diff * diff, axis=1)  # (BSUB, n)
         min_dist = jnp.minimum(min_dist, jnp.where(valid, dist, -1.0))
-        farthest = jnp.argmax(min_dist, axis=1)[0].astype(jnp.int32)
+        row_max = jnp.max(min_dist, axis=1, keepdims=True)   # (BSUB, 1)
+        farthest = jnp.min(jnp.where(min_dist == row_max, lanes,
+                                     jnp.float32(n)),
+                           axis=1, keepdims=True)            # (BSUB, 1)
         return min_dist, farthest, acc
 
-    acc0 = jnp.zeros((1, out_pad), jnp.int32)
+    # loop carries must NOT be splat constants: Mosaic gives a plain
+    # jnp.zeros a fully-replicated layout, and the loop back-edge then
+    # needs an invalid concrete->replicated relayout; deriving the inits
+    # from the (concrete-layout) iotas pins the carry layout.
+    acc0 = out_lanes * jnp.float32(0.0)
+    far0 = jnp.min(lanes, axis=1, keepdims=True) * jnp.float32(0.0)
     _, _, acc = jax.lax.fori_loop(0, npoint, body,
-                                  (init_dist, jnp.int32(0), acc0))
-    idx_ref[0] = acc
+                                  (init_dist, far0, acc0))
+    idx_ref[...] = acc.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("npoint", "interpret"))
@@ -74,28 +118,34 @@ def farthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int,
     xyz (B, N, 3), valid_mask (B, N) bool -> idx (B, npoint) int32."""
     b, n, _ = xyz.shape
     np_pad = _round_up(n, LANE)
+    # batch rows processed together per grid step (sublane-parallel); padded
+    # batch rows run on zero clouds with an all-invalid mask and are sliced
+    # away (their argmax stays at index 0 — harmless)
+    bsub = 8
+    b_pad = _round_up(b, bsub)
     xyz_t = jnp.swapaxes(xyz, -1, -2).astype(jnp.float32)  # (B, 3, N)
-    xyz_t = jnp.pad(xyz_t, ((0, 0), (0, 0), (0, np_pad - n)))
+    xyz_t = jnp.pad(xyz_t, ((0, b_pad - b), (0, 0), (0, np_pad - n)))
     if valid_mask is None:
-        mask = jnp.zeros((b, 1, np_pad), jnp.float32).at[:, :, :n].set(1.0)
+        mask = jnp.zeros((b_pad, np_pad), jnp.float32)
+        mask = mask.at[:b, :n].set(1.0)
     else:
-        mask = jnp.pad(valid_mask.astype(jnp.float32)[:, None, :],
-                       ((0, 0), (0, 0), (0, np_pad - n)))
+        mask = jnp.pad(valid_mask.astype(jnp.float32),
+                       ((0, b_pad - b), (0, np_pad - n)))
 
     out_pad = _round_up(npoint, LANE)
     kernel = partial(_fps_kernel, npoint=npoint)
     idx = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b_pad // bsub,),
         in_specs=[
-            pl.BlockSpec((1, 3, np_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((bsub, 3, np_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, np_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((bsub, np_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, out_pad), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bsub, out_pad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, out_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, out_pad), jnp.int32),
         interpret=interpret,
     )(xyz_t, mask)
-    return idx[:, 0, :npoint]
+    return idx[:b, :npoint]

@@ -75,11 +75,18 @@ def parse_with_overrides(parser: argparse.ArgumentParser):
 
 def setup_compilation_cache():
     """Persistent XLA compile cache: first axon compile is minutes, cached
-    re-runs are ~1s (measured on TPU v5e via the tunnel)."""
+    re-runs are ~1s (measured on TPU v5e via the tunnel).
+
+    The directory is scoped by a host-CPU fingerprint: serialized
+    CPU-target executables embed the compile machine's feature set and
+    XLA's AOT loader only warns on mismatch — a stale cross-machine cache
+    SEGFAULTED the round-5 test suite (utils/cache_fingerprint.py)."""
+    from ..utils.cache_fingerprint import machine_fingerprint
     cache = os.environ.get("HOTRACK_JAX_CACHE",
                            pjoin(os.path.dirname(__file__), "..", "..", ".jax_cache"))
+    cache = os.path.abspath(cache) + "-" + machine_fingerprint()
     os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
